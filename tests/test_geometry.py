@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from nominatim_spark.geometry import ops, wkb
+
+
+@pytest.fixture
+def square_with_hole():
+    return wkb.parse_wkb(
+        wkb.polygon_wkb(
+            [(0, 0), (4, 0), (4, 4), (0, 4)],
+            holes=[[(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]],
+        )
+    )
+
+
+def test_wkb_roundtrip_point():
+    g = wkb.parse_wkb(wkb.point_wkb(9.5226, 47.1410))
+    assert g.kind == wkb.POINT
+    assert g.parts[0][0].tolist() == [9.5226, 47.1410]
+
+
+def test_wkb_multipolygon():
+    mp = wkb.multipolygon_wkb(
+        [([(0, 0), (1, 0), (1, 1), (0, 1)], []), ([(10, 10), (11, 10), (11, 11), (10, 11)], [])]
+    )
+    g = wkb.parse_wkb(mp)
+    assert g.kind == wkb.MULTIPOLYGON
+    polys = list(g.polygons())
+    assert len(polys) == 2
+    mask = ops.points_in_polygon(g, [0.5, 10.5, 5.0], [0.5, 10.5, 5.0])
+    assert mask.tolist() == [True, True, False]
+
+
+def test_point_in_polygon_with_hole(square_with_hole):
+    px = [0.5, 1.5, 3.99, 5.0, -0.1]
+    py = [0.5, 1.5, 3.99, 1.0, 0.5]
+    mask = ops.points_in_polygon(square_with_hole, px, py)
+    assert mask.tolist() == [True, False, True, False, False]
+
+
+def test_point_on_edge_counts_inside(square_with_hole):
+    mask = ops.points_in_polygon(square_with_hole, [0.0, 4.0, 2.0], [2.0, 4.0, 0.0])
+    assert mask.tolist() == [True, True, True]
+
+
+def test_area_and_centroid(square_with_hole):
+    assert ops.polygon_area(square_with_hole) == pytest.approx(15.0)
+    cx, cy = ops.polygon_centroid(square_with_hole)
+    # symmetric removal pushes centroid away from the hole
+    assert cx == pytest.approx(cy)
+    assert cx > 2.0
+
+
+def test_point_on_surface_inside_concave():
+    # U-shape whose centroid falls in the notch
+    u = wkb.parse_wkb(
+        wkb.polygon_wkb(
+            [(0, 0), (5, 0), (5, 5), (4, 5), (4, 1), (1, 1), (1, 5), (0, 5)]
+        )
+    )
+    cx, cy = ops.polygon_centroid(u)
+    px, py = ops.point_on_surface(u)
+    assert ops.points_in_polygon(u, [px], [py])[0]
+
+
+def test_line_interpolate_and_locate():
+    line = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)])
+    assert ops.line_interpolate_point(line, 0.0) == (0.0, 0.0)
+    assert ops.line_interpolate_point(line, 1.0) == (1.0, 1.0)
+    assert ops.line_interpolate_point(line, 0.5) == (1.0, 0.0)
+    assert ops.line_locate_point(line, 1.0, 0.0) == pytest.approx(0.5)
+    # roundtrip: locate(interpolate(f)) == f
+    for f in (0.1, 0.33, 0.77):
+        x, y = ops.line_interpolate_point(line, f)
+        assert ops.line_locate_point(line, x, y) == pytest.approx(f)
+
+
+def test_get_center_point_variants():
+    # point -> itself (utils.sql:10-27)
+    assert ops.get_center_point(wkb.point_wkb(1.5, 2.5)) == (1.5, 2.5)
+    # line -> midpoint by length
+    line = wkb.linestring_wkb([(0, 0), (2, 0)])
+    assert ops.get_center_point(line) == (1.0, 0.0)
+    # polygon -> centroid (inside)
+    sq = wkb.polygon_wkb([(0, 0), (2, 0), (2, 2), (0, 2)])
+    assert ops.get_center_point(sq) == (1.0, 1.0)
+
+
+def test_haversine():
+    # Vaduz -> Zurich great-circle ~ 78 km
+    d = ops.haversine_m(9.5215, 47.1410, 8.5417, 47.3769)
+    assert 74_000 < float(d) < 82_000
+    assert float(ops.haversine_m(0, 0, 0, 0)) == 0.0
