@@ -1,0 +1,633 @@
+"""Driver-facing correctness-gate queries with DuckDB oracles.
+
+Each entry implements one operator family from SURVEY.md §2 using the
+engine's real machinery on the Spark side (cell encoding UDFs, cover joins,
+ring-expansion kNN, posting-table semijoins, fixed-point centroids,
+minhash/LSH dedup ...), paired with a plain ANSI-SQL oracle that DuckDB runs
+over the same parquet views.  The driver compares row count + schema +
+order-insensitive value hash, so:
+
+* every computed column is aliased identically on both sides;
+* float aggregation is done in DECIMAL (exact, order-independent) and cast
+  to DOUBLE only for output;
+* coordinates/geometry are derived arithmetically (see synthgeo.py) so both
+  engines see bit-identical doubles.
+
+Registry: :data:`QUERIES` maps name -> (spark_callable, oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nominatim_spark import grid
+from nominatim_spark.geometry.wkb import box_wkb
+from nominatim_spark.operators.spatial import knn_join, point_in_polygon_join
+from nominatim_spark.plans import synthgeo as sg
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- relational
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg baseline (SURVEY §2.4 A-agg analog).
+
+    Filter pushes to the parquet scan; aggregation is map-side partial.
+    DECIMAL sums keep the result order-independent and oracle-exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + deterministic top-k (J4 + T1 pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+            ).alias("rev_dec")
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(rev, orders.o_orderkey == rev.l_orderkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey"),
+            F.col("c_custkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("rev_dec").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q_TOP_ORDERS_SQL = """
+WITH rev AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS rev_dec
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, c_custkey, CAST(rev_dec AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN rev ON o_orderkey = rev.l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY rev_dec DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order — left_anti (P4 exclusion / U5)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one 'F' order — left_semi (J15 EXISTS)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey"
+    )
+
+
+Q_SEMI_SQL = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (W4: row_number over partition, LIMIT 1-per-set)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rk")
+    )
+
+
+Q_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey, rk FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 5
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregation over the events table.
+
+    Batch form of the streaming windowed agg (SURVEY §2.9); bucket is epoch
+    arithmetic so the oracle matches bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.unix_timestamp("ts") / 300).cast("long") * 300)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------- spatial
+
+_CELL_RES = 5
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell assignment through the engine's vectorized pandas-UDF path.
+
+    The oracle recomputes the cell id with the pure-SQL formula — proving the
+    numpy kernel (grid.py encode) is bit-identical to the declared grid.
+    """
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), _CELL_RES))
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    return (
+        pts.withColumn("cell", cell_udf("lon", "lat"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+Q_CELL_SQL = f"""
+WITH pts AS ({sg.customer_points_sql()})
+SELECT {grid.encode_sql('lon', 'lat', _CELL_RES)} AS cell, COUNT(*) AS n_points
+FROM pts GROUP BY 1
+"""
+
+
+def q_pip_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon via cell cover-join + exact WKB recheck (J5/J7).
+
+    Spark side: nation rectangles become real WKB polygons, exploded into
+    covering cells, broadcast, equi-joined on cell, then rechecked with the
+    vectorized ray-cast kernel.  Oracle: plain BETWEEN containment.
+    """
+    nat = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        f"{sg.NATION_LON0} AS lon0",
+        f"{sg.NATION_LAT0} AS lat0",
+    ).toPandas()
+    # Spark parses decimal literals as DECIMAL — coerce to float for WKB
+    nat["wkb"] = [
+        box_wkb(float(r.lon0), float(r.lat0),
+                float(r.lon0) + sg.NATION_W, float(r.lat0) + sg.NATION_H)
+        for r in nat.itertuples()
+    ]
+    polys = nat[["n_nationkey", "wkb"]]
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    joined = point_in_polygon_join(
+        pts, polys, poly_key="n_nationkey", wkb_col="wkb", res=0
+    )
+    # pandas round-trip widened the key; restore the table's native int32
+    return joined.select(F.col("n_nationkey").cast("int"), "c_custkey")
+
+
+Q_PIP_SQL = f"""
+WITH pts AS ({sg.customer_points_sql()}),
+     rects AS ({sg.nation_rects_sql()})
+SELECT n_nationkey, c_custkey
+FROM rects JOIN pts
+  ON pts.lon BETWEEN rects.lon0 AND rects.lon1
+ AND pts.lat BETWEEN rects.lat0 AND rects.lat1
+"""
+
+
+def q_knn_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-place lookup by iterative cell-ring expansion (J6 kNN).
+
+    Each supplier probe point finds its nearest customer point; the oracle
+    is the exhaustive cross-join + window-min.  Proves the expansion
+    terminates with the true nearest neighbor.
+    """
+    probes = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{sg.SUPP_LON} AS lon", f"{sg.SUPP_LAT} AS lat"
+    )
+    cands = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    out = knn_join(
+        probes, cands, res=0, point_key="s_suppkey", cand_key="c_custkey"
+    )
+    return out.select("s_suppkey", "c_custkey")
+
+
+Q_KNN_SQL = f"""
+WITH probes AS ({sg.supplier_points_sql()}),
+     cands AS ({sg.customer_points_sql()}),
+     d AS (
+       SELECT s_suppkey, c_custkey,
+              (probes.lon - cands.lon) * (probes.lon - cands.lon)
+            + (probes.lat - cands.lat) * (probes.lat - cands.lat) AS dist2
+       FROM probes CROSS JOIN cands)
+SELECT s_suppkey, c_custkey FROM (
+  SELECT s_suppkey, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY dist2, c_custkey) AS rn
+  FROM d) t
+WHERE rn = 1
+"""
+
+
+def q_interpolation_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Housenumber interpolation expansion (W3/J13 arithmetic,
+    interpolation.sql:196-374): way -> all housenumbers on it."""
+    ways = load(spark, sf_dir, "orders").filter(F.expr(sg.WAY_FILTER)).selectExpr(
+        "o_orderkey AS way_id",
+        f"{sg.WAY_START} AS startnumber",
+        f"{sg.WAY_END} AS endnumber",
+    )
+    return ways.select(
+        "way_id",
+        F.explode(F.expr("sequence(startnumber, endnumber, 2)")).alias("hnr"),
+    )
+
+
+Q_INTERP_SQL = f"""
+WITH ways AS ({sg.interpolation_ways_sql()})
+SELECT way_id, CAST(u.hnr AS BIGINT) AS hnr
+FROM ways, LATERAL unnest(generate_series(startnumber, endnumber, 2)) AS u(hnr)
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + step-mod theta join (J13: n BETWEEN start AND end AND
+    (n-start) % step = 0), re-expressed as a bucketed equi-join.
+
+    Ways explode into coarse number-buckets; queries join on their bucket —
+    turning the theta join into an equi-join with bounded fan-out (the same
+    trick as the cell cover-join, applied to 1-D intervals).
+    """
+    ways = load(spark, sf_dir, "orders").filter(F.expr(sg.WAY_FILTER)).selectExpr(
+        "o_orderkey AS way_id",
+        f"{sg.WAY_START} AS startnumber",
+        f"{sg.WAY_END} AS endnumber",
+    )
+    bucketed = ways.select(
+        "way_id", "startnumber", "endnumber",
+        F.explode(
+            F.expr("sequence(CAST(startnumber / 16 AS INT), CAST(endnumber / 16 AS INT))")
+        ).alias("bucket"),
+    )
+    qs = (
+        load(spark, sf_dir, "lineitem")
+        .filter("l_linenumber = 1")
+        .selectExpr("l_orderkey", "CAST(l_orderkey % 61 AS INT) AS hnr")
+        .withColumn("bucket", F.expr("CAST(hnr / 16 AS INT)"))
+    )
+    matched = bucketed.join(qs, "bucket").filter(
+        (F.col("hnr") >= F.col("startnumber"))
+        & (F.col("hnr") <= F.col("endnumber"))
+        & ((F.col("hnr") - F.col("startnumber")) % 2 == 0)
+    )
+    return matched.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("hnr").alias("n_distinct_hnr"),
+    )
+
+
+Q_INTERVAL_SQL = f"""
+WITH ways AS ({sg.interpolation_ways_sql()}),
+     qs AS (SELECT l_orderkey, CAST(l_orderkey % 61 AS INT) AS hnr
+            FROM lineitem WHERE l_linenumber = 1)
+SELECT way_id, COUNT(*) AS n_matches, COUNT(DISTINCT hnr) AS n_distinct_hnr
+FROM ways JOIN qs
+  ON qs.hnr BETWEEN ways.startnumber AND ways.endnumber
+ AND (qs.hnr - ways.startnumber) % 2 = 0
+GROUP BY way_id
+"""
+
+
+def q_centroid_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-digit fixed-point centroid aggregation (A3 — the reference's
+    PointsCentroid, utils/centroid.py:14-48): integer mean of
+    round(coord * 1e7), exactly reproducible in any engine."""
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    # integer (floor) division keeps both engines exact; coords are shifted
+    # positive so floor == trunc everywhere
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND((lon + 180.0) * 1e7) AS BIGINT)")).alias("sx"),
+            F.sum(F.expr("CAST(ROUND((lat + 90.0) * 1e7) AS BIGINT)")).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr("c_nationkey", "sx DIV n AS cx_fp", "sy DIV n AS cy_fp", "n")
+    )
+
+
+Q_CENTROID_SQL = f"""
+WITH pts AS (SELECT c_custkey, c_nationkey, {sg.CUST_LON} AS lon, {sg.CUST_LAT} AS lat FROM customer)
+SELECT c_nationkey,
+       CAST(SUM(CAST(ROUND((lon + 180.0) * 1e7) AS BIGINT)) // COUNT(*) AS BIGINT) AS cx_fp,
+       CAST(SUM(CAST(ROUND((lat + 90.0) * 1e7) AS BIGINT)) // COUNT(*) AS BIGINT) AS cy_fp,
+       COUNT(*) AS n
+FROM pts GROUP BY c_nationkey
+"""
+
+
+# ----------------------------------------------------- tokens / text / dedup
+
+_TOKENIZE = "filter(split(regexp_replace(lower(text), '[^a-z ]+', ' '), ' '), w -> w <> '')"
+_DUCK_TOKENIZE = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z ]+', ' ', 'g'), ' '), "
+    "w -> w <> '')"
+)
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency statistics (A1 — icu_tokenizer word stats,
+    explode + groupBy + deterministic top-100)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKENIZE)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(100)
+    )
+
+
+Q_WORD_FREQ_SQL = f"""
+SELECT w AS word, COUNT(*) AS cnt
+FROM documents, LATERAL unnest({_DUCK_TOKENIZE}) AS t(w)
+GROUP BY w ORDER BY cnt DESC, word LIMIT 100
+"""
+
+_LOOKUP_ALL = ("key", "scan", "merge")
+_LOOKUP_ANY = ("vector", "stream", "sketch")
+
+
+def q_lookup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LookupAll token semijoin (J1 — name_vector @> tokens via GIN,
+    db_search_lookups.py:22-57): explode posting rows, contains-ALL via
+    count-distinct == n_tokens."""
+    docs = load(spark, sf_dir, "documents")
+    toks = list(_LOOKUP_ALL)
+    posting = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENIZE))).alias("word")
+    )
+    return (
+        posting.filter(F.col("word").isin(toks))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == len(toks))
+        .select("doc_id")
+    )
+
+
+Q_LOOKUP_ALL_SQL = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, COUNT(DISTINCT w) AS nhit
+  FROM documents, LATERAL unnest({_DUCK_TOKENIZE}) AS t(w)
+  WHERE w IN {_LOOKUP_ALL!r}
+  GROUP BY doc_id) s
+WHERE nhit = {len(_LOOKUP_ALL)}
+"""
+
+
+def q_lookup_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LookupAny token semijoin (J2 — name_vector && tokens): posting join
+    + dropDuplicates."""
+    docs = load(spark, sf_dir, "documents")
+    posting = docs.select("doc_id", F.explode(F.expr(_TOKENIZE)).alias("word"))
+    return (
+        posting.filter(F.col("word").isin(list(_LOOKUP_ANY)))
+        .select("doc_id")
+        .dropDuplicates()
+    )
+
+
+Q_LOOKUP_ANY_SQL = f"""
+SELECT DISTINCT doc_id
+FROM documents, LATERAL unnest({_DUCK_TOKENIZE}) AS t(w)
+WHERE w IN {_LOOKUP_ANY!r}
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate grouping by content hash (training-data dedup,
+    hash-groupBy flavor): docs sharing a 40-char prefix hash, with the
+    group's canonical (min) doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.expr("substr(text, 1, 40)")).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+Q_DEDUP_SQL = """
+SELECT doc_id, canonical_id, group_size FROM (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40))) AS canonical_id,
+         COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS group_size
+  FROM documents) t
+WHERE group_size > 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (training-data near-dedup).
+
+    Character 12-gram shingles at stride 7; per-doc minhash = lexicographic
+    min of md5(seed:shingle) per seed (portable across engines); two bands
+    of two hashes; candidate pair = same band value, doc_a < doc_b.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 11, 1), 7), "
+                "i -> substr(text, i, 12))"
+            )
+        ).alias("shingle"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in (1, 2, 3, 4)
+        ]
+    )
+    b1 = sig.select("doc_id", F.concat("h1", "h2").alias("band"))
+    b2 = sig.select("doc_id", F.concat("h3", "h4").alias("band"))
+    bands = b1.unionByName(b2)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+Q_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(u.i AS INT), 12) AS shingle
+  FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 11, 1), 7)) AS u(i)
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('1:' || shingle)) AS h1, MIN(md5('2:' || shingle)) AS h2,
+         MIN(md5('3:' || shingle)) AS h3, MIN(md5('4:' || shingle)) AS h4
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, h1 || h2 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, h3 || h4 AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over the embeddings table.
+
+    Query vector = embedding of vec_id 0; sequential-fold double dot
+    product; ranking on ROUND(cos, 6) so both engines cut the same top-10.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    qnorm = F.expr(
+        "sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (
+        emb.filter("vec_id <> 0")
+        .withColumn("qv", qlit)
+        .withColumn("cos_r", F.round(dot / (norm * qnorm), 6))
+        .orderBy(F.col("cos_r").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "cos_r")
+    )
+
+
+Q_EMBED_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+     scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_r
+  FROM embeddings e CROSS JOIN q
+  WHERE vec_id <> 0)
+SELECT vec_id, cos_r FROM scored ORDER BY cos_r DESC, vec_id LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "top_orders_join": (q_top_orders, Q_TOP_ORDERS_SQL),
+    "anti_join_no_orders": (q_anti_join, Q_ANTI_SQL),
+    "semi_join_has_f_order": (q_semi_join, Q_SEMI_SQL),
+    "topk_per_group": (q_topk_per_group, Q_TOPK_SQL),
+    "events_tumbling_window": (q_events_window, Q_EVENTS_SQL),
+    "cell_assign": (q_cell_assign, Q_CELL_SQL),
+    "pip_cover_join": (q_pip_cover_join, Q_PIP_SQL),
+    "knn_reverse": (q_knn_reverse, Q_KNN_SQL),
+    "interpolation_expand": (q_interpolation_expand, Q_INTERP_SQL),
+    "interval_join": (q_interval_join, Q_INTERVAL_SQL),
+    "centroid_fixedpoint": (q_centroid_fixedpoint, Q_CENTROID_SQL),
+    "word_freq": (q_word_freq, Q_WORD_FREQ_SQL),
+    "lookup_all": (q_lookup_all, Q_LOOKUP_ALL_SQL),
+    "lookup_any": (q_lookup_any, Q_LOOKUP_ANY_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_SQL),
+    "minhash_lsh_pairs": (q_minhash_lsh, Q_MINHASH_SQL),
+    "embed_topk_cosine": (q_embed_topk, Q_EMBED_SQL),
+}
