@@ -18,10 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship: pages -> extraction -> batch geocode (driver checks rows>0)."""
     from nominatim_spark.plans.gate import QUERIES
 
-    fn, _ = QUERIES["pip_cover_join"]
+    fn, _ = QUERIES["geocode_pages_e2e"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

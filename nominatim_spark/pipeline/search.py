@@ -1,0 +1,243 @@
+"""Batch forward geocoding — the reference's search executor, set-at-a-time.
+
+The reference geocodes one query at a time: analyze (icu_tokenizer.py),
+enumerate token assignments (token_assignment.py), build SQL per search
+plan (db_search_builder.py), run penalty-ordered plans with early exit
+(geocoder.py:120-162).  Our engine's north star is *batch* geocoding of
+millions of extracted strings, so the per-query planner loop becomes one
+DataFrame DAG over all queries at once:
+
+1. parse: phrases split on ','; phrase 0 is the name (with optional
+   trailing housenumber), the rest are address qualifiers
+2. tokenize: the same normalize→transliterate pipeline as the index side
+3. name lane (LookupAll, J1): every name token must appear in the
+   candidate's name_vector — posting equi-join + count == n_tokens
+4. address lane (Restrict, J3): every address token must appear in
+   nameaddress_vector — second posting join + count
+5. housenumber lane (J13): name+address resolve a street; the housenumber
+   equi-joins the street's children, falling back to the interpolation
+   range join
+6. rank: importance desc (penalty 0 for exact AND-matches), deterministic
+   tie-break; top-1 per query
+
+Scale notes: the word table is broadcast (dictionary-sized); the posting
+joins shuffle on word_id where city-name tokens are hot — AQE skew handling
+plus the rare-token-first trim below (drop candidates early using the
+rarest token, the reference's CountedTokenIDs strategy,
+db_search_fields.py:36-57) keep the fan-out bounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nominatim_spark.functions.text import norm_translit
+from nominatim_spark.pipeline.placex import IndexTables
+
+_HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4})\s*$")
+
+
+def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
+    names, hnrs, addrs = [], [], []
+    for q in qtext:
+        phrases = [p.strip() for p in (q or "").split(",") if p.strip()]
+        name, hnr = (phrases[0] if phrases else ""), None
+        m = _HNR_RE.match(name)
+        if m and m.group(1).strip():
+            name, hnr = m.group(1).strip(), m.group(2)
+        names.append(norm_translit(name))
+        hnrs.append(hnr)
+        addrs.append(" ".join(norm_translit(p) for p in phrases[1:]))
+    return pd.DataFrame({"name_norm": names, "hnr": hnrs, "addr_norm": addrs})
+
+
+def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
+    """Add name_norm / hnr / addr_norm columns (vectorized parse+normalize)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
+    ) + ", name_norm string, hnr string, addr_norm string"
+
+    def run(batches):
+        for pdf in batches:
+            parsed = _parse_batch(pdf[text_col])
+            yield pd.concat(
+                [pdf.reset_index(drop=True), parsed.reset_index(drop=True)],
+                axis=1,
+            )
+
+    return queries.mapInPandas(run, schema=schema)
+
+
+def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
+    """Explode space-separated normalized terms and map to word ids ('w')."""
+    toks = df.select(
+        "query_id", F.explode(F.split(F.col(col), " ")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    w = word.filter(F.col("type") == "w").select(
+        F.col("word_token").alias("_tok"), F.col("word_id").alias(out)
+    )
+    # broadcast dictionary join (J20); unmatched tokens keep NULL ids so the
+    # count check below fails the query rather than silently relaxing it
+    return toks.join(F.broadcast(w), "_tok", "left")
+
+
+def geocode(
+    spark,
+    idx: IndexTables,
+    queries: DataFrame,
+    *,
+    osmline: DataFrame | None = None,
+    text_col: str = "qtext",
+) -> DataFrame:
+    """Batch geocode: one row per query_id (best match, may be absent)."""
+    q = parse_queries(queries, text_col).persist()
+
+    # ---- name lane: LookupAll on name tokens
+    name_toks = _token_ids(q, idx.word, "name_norm", "word_id")
+    n_name = name_toks.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_name_toks")
+    )
+    name_hits = (
+        name_toks.filter(F.col("word_id").isNotNull())
+        .join(idx.name_postings, "word_id")
+        .groupBy("query_id", "place_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(n_name, "query_id")
+        .filter(F.col("n_hit") == F.col("n_name_toks"))
+        .select("query_id", "place_id")
+    )
+
+    # ---- address lane: every addr token in nameaddress_vector
+    addr_toks = _token_ids(
+        q.filter(F.col("addr_norm") != ""), idx.word, "addr_norm", "word_id"
+    )
+    n_addr = addr_toks.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_addr_toks")
+    )
+    addr_ok = (
+        name_hits.join(
+            addr_toks.filter(F.col("word_id").isNotNull()), "query_id"
+        )
+        .join(idx.addr_postings, ["word_id", "place_id"], "left_semi")
+        .groupBy("query_id", "place_id")
+        .agg(F.count(F.lit(1)).alias("n_addr_hit"))
+    )
+    with_addr = (
+        name_hits.join(n_addr, "query_id", "left")
+        .join(addr_ok, ["query_id", "place_id"], "left")
+        .filter(
+            F.col("n_addr_toks").isNull()
+            | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("n_addr_toks"))
+        )
+        .select("query_id", "place_id")
+    )
+
+    sn = idx.search_name.select(
+        "place_id", "osm_type", "osm_id", "class", "type", "rank_search",
+        "rank_address", "importance", "lon", "lat", "housenumber",
+        F.col("parent_place_id"),
+    )
+    cand = with_addr.join(sn, "place_id")
+
+    # ---- housenumber lane: candidates that are streets get children
+    qh = q.filter(F.col("hnr").isNotNull()).select("query_id", "hnr")
+    street_cand = cand.join(qh, "query_id").filter(
+        F.col("rank_search").between(26, 27)
+    )
+    houses = idx.search_name.filter(F.col("housenumber").isNotNull()).select(
+        F.col("parent_place_id").alias("street_id"),
+        F.col("place_id").alias("house_id"),
+        F.col("housenumber").alias("h_hnr"),
+        F.col("lon").alias("h_lon"),
+        F.col("lat").alias("h_lat"),
+        F.col("osm_type").alias("h_osm_type"),
+        F.col("osm_id").alias("h_osm_id"),
+    )
+    house_hits = street_cand.join(
+        houses,
+        (street_cand.place_id == houses.street_id)
+        & (street_cand.hnr == houses.h_hnr),
+    ).select(
+        "query_id",
+        F.col("house_id").alias("place_id"),
+        F.col("h_osm_type").alias("osm_type"),
+        F.col("h_osm_id").alias("osm_id"),
+        F.lit("building").alias("class"),
+        F.lit("yes").alias("type"),
+        F.lit(30).alias("rank_search"),
+        F.lit(30).alias("rank_address"),
+        F.lit(0.0).alias("importance"),
+        F.col("h_lon").alias("lon"),
+        F.col("h_lat").alias("lat"),
+        F.col("hnr").alias("housenumber"),
+        F.lit(0).alias("penalty"),
+    )
+
+    interp_hits = None
+    if osmline is not None:
+        lines = osmline.select(
+            F.col("parent_place_id").alias("street_id"),
+            F.col("osmline_id"),
+            "startnumber", "endnumber", "step", "mid_lon", "mid_lat",
+        )
+        interp_hits = (
+            street_cand.withColumn("hnr_num", F.col("hnr").cast("int"))
+            .join(lines, street_cand.place_id == lines.street_id)
+            .filter(
+                (F.col("hnr_num") >= F.col("startnumber"))
+                & (F.col("hnr_num") <= F.col("endnumber"))
+                & ((F.col("hnr_num") - F.col("startnumber")) % F.col("step") == 0)
+            )
+            .select(
+                "query_id",
+                F.col("osmline_id").alias("place_id"),
+                F.lit("W").alias("osm_type"),
+                F.col("osmline_id").alias("osm_id"),
+                F.lit("place").alias("class"),
+                F.lit("houses").alias("type"),
+                F.lit(30).alias("rank_search"),
+                F.lit(30).alias("rank_address"),
+                F.lit(-0.1).alias("importance"),  # below exact house matches
+                F.col("mid_lon").alias("lon"),
+                F.col("mid_lat").alias("lat"),
+                F.col("hnr").alias("housenumber"),
+                F.lit(1).alias("penalty"),
+            )
+        )
+
+    # queries WITHOUT housenumber: plain candidates, penalty 0
+    plain = (
+        cand.join(qh.select("query_id"), "query_id", "left_anti")
+        .select(
+            "query_id", "place_id", "osm_type", "osm_id", "class", "type",
+            "rank_search", "rank_address", "importance", "lon", "lat",
+            F.lit(None).cast("string").alias("housenumber"),
+            F.lit(0).alias("penalty"),
+        )
+    )
+    # hnr queries where no house/interp matched: fall back to the street
+    street_fallback = street_cand.select(
+        "query_id", "place_id", "osm_type", "osm_id", "class", "type",
+        "rank_search", "rank_address", "importance", "lon", "lat",
+        F.lit(None).cast("string").alias("housenumber"),
+        F.lit(2).alias("penalty"),
+    )
+
+    all_hits = plain.unionByName(house_hits).unionByName(street_fallback)
+    if interp_hits is not None:
+        all_hits = all_hits.unionByName(interp_hits)
+
+    # final ranking: lowest penalty, then importance desc, then stable id
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("penalty"), F.col("importance").desc(), F.col("place_id")
+    )
+    return (
+        all_hits.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )

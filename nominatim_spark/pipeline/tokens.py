@@ -1,0 +1,178 @@
+"""search_name / word-table build.
+
+Re-expresses the reference's tokenizer+indexing output tables
+(word: src/nominatim_db/tokenizer/icu_tokenizer.py:238-246; search_name:
+lib-sql/tables/search_name.sql:12-20, filled by placex_update's
+insert_addresslines + create_poi_search_terms,
+lib-sql/functions/placex_triggers.sql:394-654) as three DataFrames:
+
+* ``word``           — (word_id, word_token, type, word): 'W' full names,
+                       'w' partial words, 'H' housenumbers, 'C' countries.
+                       Ids are dense row_numbers over a deterministic sort
+                       (at planet scale this becomes zipWithIndex over a
+                       sorted distinct — same determinism, no single-task
+                       window).
+* ``search_name``    — per place: name_vector (own tokens),
+                       nameaddress_vector (own + ancestor-area + parent
+                       street tokens), ranks, importance, centroid.
+* posting tables     — exploded (token_id, place_id) pairs for name and
+                       address vectors: the GIN-index analog the LookupAll/
+                       LookupAny semijoins drive on
+                       (db_search_lookups.py:22-89).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nominatim_spark.functions.housenumbers import canonical_housenumber
+from nominatim_spark.functions.text import norm_translit
+from nominatim_spark.operators.spatial import point_in_polygon_join
+from nominatim_spark.pipeline.placex import IndexTables
+
+# type objects (not DDL strings): usable without an active session at import
+norm_name_udf = F.pandas_udf(
+    lambda s: s.map(lambda v: norm_translit(v) if isinstance(v, str) else None),
+    T.StringType(),
+)
+
+canon_hnr_udf = F.pandas_udf(
+    lambda s: s.map(
+        lambda v: canonical_housenumber(v) if isinstance(v, str) else None
+    ),
+    T.StringType(),
+)
+
+
+def build_search_tables(spark, placex: DataFrame) -> IndexTables:
+    # ---- per-place normalized name & housenumber
+    named = placex.withColumn(
+        "norm_name", norm_name_udf(F.col("name").getItem("name"))
+    ).withColumn(
+        "housenumber", canon_hnr_udf(F.col("address").getItem("housenumber"))
+    )
+
+    # ---- ancestor areas (address terms): covering areas rank_address 1..25
+    areas_pdf = named.filter(
+        (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
+    ).select("place_id", "norm_name", "geometry").toPandas()
+    areas_pdf["wkb"] = areas_pdf["geometry"].map(bytes)
+    anc = point_in_polygon_join(
+        named.select("place_id", "lon", "lat"),
+        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "anc_id"}),
+        poly_key="anc_id",
+        wkb_col="wkb",
+    ).filter(F.col("anc_id") != F.col("place_id")).select("place_id", "anc_id")
+    anc_names = spark.createDataFrame(
+        areas_pdf[["place_id", "norm_name"]].rename(
+            columns={"place_id": "anc_id", "norm_name": "anc_name"})
+    )
+    ancestors = anc.join(F.broadcast(anc_names), "anc_id")
+
+    # parent street contributes its name to POI/house address terms
+    # (create_poi_search_terms, placex_triggers.sql:394-484)
+    parent_names = named.select(
+        F.col("place_id").alias("parent_place_id"),
+        F.col("norm_name").alias("parent_name"),
+    )
+    with_parent = named.join(parent_names, "parent_place_id", "left")
+
+    # ---- token strings per place
+    # name terms: the full normalized name (W) and its words (w)
+    name_terms = (
+        named.filter(F.col("norm_name").isNotNull())
+        .select(
+            "place_id",
+            F.explode(
+                F.array_union(
+                    F.array(F.concat(F.lit("W:"), F.col("norm_name"))),
+                    F.transform(
+                        F.split("norm_name", " "),
+                        lambda t: F.concat(F.lit("w:"), t),
+                    ),
+                )
+            ).alias("term"),
+        )
+        .filter(~F.col("term").isin("W:", "w:"))
+    )
+    hnr_terms = named.filter(F.col("housenumber").isNotNull()).select(
+        "place_id", F.concat(F.lit("H:"), F.col("housenumber")).alias("term")
+    )
+    name_terms = name_terms.unionByName(hnr_terms)
+
+    # address terms: ancestor-area words + parent street words + own words
+    addr_sources = (
+        ancestors.select("place_id", F.col("anc_name").alias("src_name"))
+        .unionByName(
+            with_parent.select(
+                "place_id", F.col("parent_name").alias("src_name")
+            ).filter(F.col("src_name").isNotNull())
+        )
+        .unionByName(
+            named.select("place_id", F.col("norm_name").alias("src_name"))
+            .filter(F.col("src_name").isNotNull())
+        )
+    )
+    addr_terms = addr_sources.select(
+        "place_id",
+        F.explode(
+            F.transform(F.split("src_name", " "), lambda t: F.concat(F.lit("w:"), t))
+        ).alias("term"),
+    ).filter(F.col("term") != "w:").distinct()
+
+    # ---- word table: dense deterministic ids
+    all_terms = name_terms.select("term").unionByName(
+        addr_terms.select("term")
+    ).distinct()
+    w = Window.orderBy("term")
+    word = all_terms.withColumn("word_id", F.row_number().over(w)).select(
+        "word_id",
+        F.substring("term", 3, 10000).alias("word_token"),
+        F.substring("term", 1, 1).alias("type"),
+        F.col("term"),
+    )
+    word = word.persist()
+
+    # ---- vectors & postings
+    name_post = (
+        name_terms.join(word.select("term", "word_id"), "term")
+        .select("place_id", "word_id")
+        .distinct()
+    )
+    addr_post = (
+        addr_terms.join(word.select("term", "word_id"), "term")
+        .select("place_id", "word_id")
+        .unionByName(name_post)
+        .distinct()
+    )
+
+    name_vec = name_post.groupBy("place_id").agg(
+        F.sort_array(F.collect_list("word_id")).alias("name_vector")
+    )
+    addr_vec = addr_post.groupBy("place_id").agg(
+        F.sort_array(F.collect_list("word_id")).alias("nameaddress_vector")
+    )
+
+    search_name = (
+        named.select(
+            "place_id", "osm_type", "osm_id", "class", "type", "norm_name",
+            "housenumber", "parent_place_id", "rank_search", "rank_address",
+            "country_code", "partition", "importance", "lon", "lat", "cell",
+        )
+        .join(name_vec, "place_id", "left")
+        .join(addr_vec, "place_id", "left")
+        .filter(F.col("name_vector").isNotNull())
+    )
+
+    return IndexTables(
+        placex=named,
+        search_name=search_name,
+        word=word,
+        name_postings=name_post,
+        addr_postings=addr_post,
+    )

@@ -609,6 +609,43 @@ SELECT vec_id, cos_r FROM scored ORDER BY cos_r DESC, vec_id LIMIT 10
 """
 
 
+# ------------------------------------------------- geocoding pipeline (weak)
+
+def q_geocode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: synth pages -> extraction -> batch forward
+    geocode against the engine-built index.  Non-SQL-expressible (full
+    Nominatim index-build semantics) — driver records a rows-only check;
+    row-for-row accuracy is asserted against ground truth in
+    tests/test_pipeline.py::test_forward_geocode_accuracy."""
+    from nominatim_spark.plans.flagship import geocode_pages
+
+    res = geocode_pages(
+        spark, n_pages=400, n_cities=4, n_streets=4, n_houses=4, n_pois=2
+    )
+    return res.select(
+        "query_id", "url", "qtext", "osm_type", "osm_id", "class", "type",
+        "rank_address", "housenumber", "lon", "lat",
+    )
+
+
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-geocode every page coordinate through the tiered cascade
+    (kNN ring expansion -> PiP areas -> country)."""
+    from nominatim_spark.plans.flagship import build_synth_index, reverse_pages
+    from nominatim_spark.sources import synth
+
+    idx, _ = build_synth_index(
+        spark, n_cities=4, n_streets=4, n_houses=4, n_pois=2
+    )
+    pages = synth.pages_df(
+        spark, n_pages=400, n_cities=4, n_streets=4, n_houses=4, n_pois=2
+    )
+    return reverse_pages(spark, idx, pages).select(
+        "point_id", "place_id", "tier", "osm_type", "osm_id", "class",
+        "rank_address", "country_code",
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -630,4 +667,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, Q_DEDUP_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh, Q_MINHASH_SQL),
     "embed_topk_cosine": (q_embed_topk, Q_EMBED_SQL),
+    "geocode_pages_e2e": (q_geocode_pages, None),
+    "reverse_geocode_e2e": (q_reverse_geocode, None),
 }

@@ -1,0 +1,270 @@
+"""Deterministic synthetic data: an OSM-style country + Common-Crawl pages.
+
+Everything is index arithmetic — no RNG — so every run, every executor, and
+every scale produces byte-identical rows (the per-url byte-identity invariant
+of the extraction stage depends on this).  The place fixture mirrors the
+shapes the reference's BDD import tests use (a small country with states,
+cities, suburbs, streets, houses, POIs, interpolation ways — FIXTURES.md §2,
+/root/reference/test/bdd/features/db/import/*.feature), and the pages table
+matches the BASELINE.json input_hint schema exactly:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Skew is deliberate: ~30% of pages mention places in city 0 (the "hot cell"),
+so the extraction/geocode joins exercise the salting path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from nominatim_spark.geometry.wkb import box_wkb, linestring_wkb, point_wkb
+
+COUNTRY_NAME = "Corvania"
+COUNTRY_CC = "cv"
+CO_LON0, CO_LAT0, CO_LON1, CO_LAT1 = 9.0, 47.0, 11.0, 48.5
+
+_STREET_A = [
+    "Birch", "Elm", "Oak", "Maple", "Cedar", "Willow", "Aspen", "Linden",
+    "Juniper", "Hazel", "Rowan", "Alder", "Poplar", "Walnut", "Chestnut",
+    "Sycamore", "Laurel", "Magnolia", "Cypress", "Spruce",
+]
+_STREET_B = ["Street", "Lane", "Road", "Avenue", "Way"]
+_CITY_NAMES = [
+    "Vels", "Marden", "Tarlow", "Quorn", "Istra", "Pelm", "Roden", "Sabel",
+    "Norwick", "Lunden", "Ferris", "Graden", "Holm", "Ister", "Jarn", "Kelm",
+]
+_POI_WORDS = [
+    "Amber", "Bronze", "Coral", "Damson", "Ebony", "Fjord", "Garnet",
+    "Harbor", "Indigo", "Jasper", "Krone", "Lumen",
+]
+_SUBURB_NAMES = ["Northside", "Easthollow", "Southgate", "Westfield"]
+_FILLER = [
+    "the quick survey of regional trade shows steady growth",
+    "council minutes note the new bridge opened last spring",
+    "visitors praised the market square and its old clock",
+    "the annual report lists repairs to the main waterworks",
+    "local archives mention the festival held each autumn",
+]
+
+
+def city_center(i: int) -> tuple[float, float]:
+    return 9.25 + (i % 4) * 0.45, 47.25 + (i // 4) * 0.35
+
+
+def street_name(city: int, j: int) -> str:
+    return f"{_STREET_A[j % len(_STREET_A)]} {_STREET_B[(city + j) % len(_STREET_B)]}"
+
+
+def city_name(i: int) -> str:
+    if i < len(_CITY_NAMES):
+        return _CITY_NAMES[i]
+    return f"{_CITY_NAMES[i % len(_CITY_NAMES)]}{i // len(_CITY_NAMES)}"
+
+
+def poi_name(city: int, p: int) -> str:
+    return f"Cafe {_POI_WORDS[(city * 3 + p) % len(_POI_WORDS)]} {city_name(city)}"
+
+
+def make_places(n_cities: int = 8, n_streets: int = 12, n_houses: int = 10,
+                n_pois: int = 5) -> pd.DataFrame:
+    """OSM-like ``place`` rows (FIXTURES.md §2 schema).
+
+    osm_id ranges: country 1, states 10+, cities 100+, suburbs 1000+,
+    streets 10000+, POIs 100000+, houses 1000000+, interpolation ways
+    5000000+ (companion nodes 6000000+).
+    """
+    assert n_cities <= 16 * 4 and n_streets <= len(_STREET_A)
+    rows: list[dict] = []
+
+    def add(osm_type, osm_id, cls, typ, name, address, extratags, geom,
+            admin_level=None, categories=None):
+        rows.append({
+            "osm_type": osm_type, "osm_id": osm_id, "class": cls,
+            "type": typ, "admin_level": admin_level,
+            "name": ({"name": name} if isinstance(name, str) else name),
+            "address": address or {}, "extratags": extratags or {},
+            "geometry": geom, "categories": categories,
+        })
+
+    add("R", 1, "boundary", "administrative", COUNTRY_NAME,
+        {"country": COUNTRY_CC}, {"wikidata": "Q90001"},
+        box_wkb(CO_LON0, CO_LAT0, CO_LON1, CO_LAT1), admin_level=2,
+        categories=["osm.boundary.administrative", "osm.place.country"])
+
+    add("R", 10, "boundary", "administrative", "Westmark", None, None,
+        box_wkb(CO_LON0, CO_LAT0, 10.0, CO_LAT1), admin_level=4,
+        categories=["osm.boundary.administrative", "osm.place.state"])
+    add("R", 11, "boundary", "administrative", "Ostmark", None, None,
+        box_wkb(10.0, CO_LAT0, CO_LON1, CO_LAT1), admin_level=4,
+        categories=["osm.boundary.administrative", "osm.place.state"])
+
+    for i in range(n_cities):
+        cx, cy = city_center(i)
+        add("R", 100 + i, "boundary", "administrative", city_name(i),
+            {"postcode": f"47{i:03d}"}, {"capital": "yes"} if i == 0 else None,
+            box_wkb(cx - 0.15, cy - 0.12, cx + 0.15, cy + 0.12), admin_level=8,
+            categories=["osm.boundary.administrative", "osm.place.city"])
+
+    # suburbs in the hot city 0
+    cx0, cy0 = city_center(0)
+    for s, sname in enumerate(_SUBURB_NAMES):
+        sx = cx0 + (0.06 if s % 2 else -0.06)
+        sy = cy0 + (0.05 if s // 2 else -0.05)
+        add("N", 1000 + s, "place", "suburb", sname, None, None,
+            point_wkb(sx, sy))
+
+    # a couple of free-standing villages
+    for v in range(3):
+        add("N", 2000 + v, "place", "village", f"Dorf {city_name(v + 8)}",
+            None, None, point_wkb(9.1 + v * 0.61, 48.31 + v * 0.05))
+
+    for i in range(n_cities):
+        cx, cy = city_center(i)
+        for j in range(n_streets):
+            sid = 10000 + i * 100 + j
+            y = cy - 0.1 + j * (0.2 / max(n_streets, 1))
+            coords = [(cx - 0.12, y), (cx + 0.12, y)]
+            add("W", sid, "highway", "residential", street_name(i, j),
+                None, None, linestring_wkb(coords))
+            # houses along the street
+            for k in range(n_houses):
+                hx = cx - 0.1 + k * (0.2 / max(n_houses, 1))
+                add("N", 1000000 + sid * 100 + k, "building", "yes", None,
+                    {"housenumber": str(2 * k + 1),
+                     "street": street_name(i, j)},
+                    None, point_wkb(hx, y + 0.0006))
+        for p in range(n_pois):
+            px = cx - 0.08 + p * 0.04
+            # sit each POI a few millidegrees off its tagged street, inside
+            # the reference's 0.015-degree street-match box
+            j = p % n_streets
+            py = cy - 0.1 + j * (0.2 / max(n_streets, 1)) + 0.003 + (p % 3) * 0.001
+            add("N", 100000 + i * 100 + p, "amenity", "restaurant",
+                poi_name(i, p), {"street": street_name(i, j)},
+                None, point_wkb(px, py))
+
+    return pd.DataFrame(rows)
+
+
+def make_interpolations(n_cities: int = 8) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Interpolation ways + companion housenumber nodes (FIXTURES.md §3).
+
+    One 'odd' interpolation per city on street j=0: endpoint nodes carry
+    housenumbers 21 and 21 + 2*9.
+    """
+    ways, nodes = [], []
+    for i in range(n_cities):
+        cx, cy = city_center(i)
+        y = cy - 0.1 - 0.004  # just south of street 0
+        wid = 5000000 + i
+        n1, n2 = 6000000 + i * 2, 6000000 + i * 2 + 1
+        ways.append({
+            "osm_id": wid, "type": "odd",
+            "address": {"street": street_name(i, 0)},
+            "nodes": [n1, n2],
+            "geometry": linestring_wkb([(cx - 0.1, y), (cx + 0.1, y)]),
+        })
+        nodes.append({"osm_id": n1, "housenumber": "21",
+                      "lon": cx - 0.1, "lat": y})
+        nodes.append({"osm_id": n2, "housenumber": str(21 + 2 * 9),
+                      "lon": cx + 0.1, "lat": y})
+    return pd.DataFrame(ways), pd.DataFrame(nodes)
+
+
+# ------------------------------------------------------------------- pages
+
+def _mention(page_idx: int, n_cities: int, n_streets: int, n_houses: int,
+             n_pois: int) -> tuple[str, str, int]:
+    """Deterministic address mention for a page.
+
+    Returns (mention_text, kind, city).  ~30% of pages hit city 0 (skew).
+    """
+    city = 0 if page_idx % 10 < 3 else (page_idx * 7) % n_cities
+    kind = page_idx % 4
+    if kind == 0:  # POI
+        p = (page_idx // 4) % n_pois
+        return f"{poi_name(city, p)}, {city_name(city)}", "poi", city
+    if kind == 1:  # street + housenumber
+        j = (page_idx // 4) % n_streets
+        k = (page_idx // 8) % n_houses
+        return (
+            f"{street_name(city, j)} {2 * k + 1}, {city_name(city)}",
+            "house", city,
+        )
+    if kind == 2:  # street only
+        j = (page_idx // 4) % n_streets
+        return f"{street_name(city, j)}, {city_name(city)}", "street", city
+    # city + country
+    return f"{city_name(city)}, {COUNTRY_NAME}", "city", city
+
+
+def expected_target(page_idx: int, n_cities: int = 8, n_streets: int = 12,
+                    n_houses: int = 10, n_pois: int = 5) -> tuple[str, int]:
+    """Ground truth for a page's mention: the (osm_type, osm_id) a correct
+    geocoder must return.  Derived from the same arithmetic as _mention."""
+    _, kind, city = _mention(page_idx, n_cities, n_streets, n_houses, n_pois)
+    if kind == "poi":
+        return "N", 100000 + city * 100 + (page_idx // 4) % n_pois
+    if kind == "house":
+        sid = 10000 + city * 100 + (page_idx // 4) % n_streets
+        return "N", 1000000 + sid * 100 + (page_idx // 8) % n_houses
+    if kind == "street":
+        return "W", 10000 + city * 100 + (page_idx // 4) % n_streets
+    return "R", 100 + city
+
+
+def make_pages(n_pages: int = 2000, n_cities: int = 8, n_streets: int = 12,
+               n_houses: int = 10, n_pois: int = 5) -> pd.DataFrame:
+    """Common-Crawl-style pages embedding address mentions.
+
+    html embeds the mention in ``<span class="adr">...</span>`` plus an
+    optional ``<meta name="geo" content="lat;lon">`` for reverse geocoding;
+    text carries the same mention inline (the byte-identity oracle).
+    """
+    langs = ["en", "de", "fr", "es", "zh"]
+    epoch = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for p in range(n_pages):
+        mention, kind, city = _mention(p, n_cities, n_streets, n_houses, n_pois)
+        filler = _FILLER[p % len(_FILLER)]
+        geo = ""
+        if p % 5 == 0:
+            cx, cy = city_center(city)
+            geo = (
+                f'<meta name="geo" content="{cy + (p % 7) * 0.001:.6f};'
+                f'{cx + (p % 11) * 0.001:.6f}">'
+            )
+        html = (
+            f"<html><head><title>page {p}</title>{geo}</head><body>"
+            f"<p>{filler}</p><span class=\"adr\">{mention}</span>"
+            f"<p>{filler}</p></body></html>"
+        )
+        rows.append({
+            "url": f"https://site{p % 97}.example/{kind}/{p}",
+            "warc_ts": epoch + dt.timedelta(seconds=p * 37),
+            "html": html.encode("utf-8"),
+            "text": f"page {p} {filler} {mention} {filler}",
+            "lang": langs[p % len(langs)],
+        })
+    return pd.DataFrame(rows)
+
+
+PLACE_SCHEMA = (
+    "osm_type string, osm_id long, class string, type string, "
+    "admin_level int, name map<string,string>, address map<string,string>, "
+    "extratags map<string,string>, geometry binary, categories array<string>"
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def place_df(spark, **kw):
+    return spark.createDataFrame(make_places(**kw), schema=PLACE_SCHEMA)
+
+
+def pages_df(spark, **kw):
+    return spark.createDataFrame(make_pages(**kw), schema=PAGES_SCHEMA)

@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests: index build semantics, forward geocode
+accuracy against ground truth, reverse geocode, interpolation.
+
+Scenario shapes mirror the reference's db/import BDD features
+(/root/reference/test/bdd/features/db/import/{rank_computation,parenting,
+interpolation}.feature) and the api search/reverse tests.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nominatim_spark.pipeline.extract import extract_pages
+from nominatim_spark.pipeline.search import geocode
+from nominatim_spark.pipeline.reverse import reverse_geocode
+from nominatim_spark.plans.flagship import build_synth_index
+from nominatim_spark.sources import synth
+
+SCALE = dict(n_cities=4, n_streets=4, n_houses=4, n_pois=2)
+
+
+@pytest.fixture(scope="session")
+def index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    idx, osmline = build_synth_index(spark, ckpt_root=ckpt, **SCALE)
+    idx.placex.persist().count()
+    idx.search_name.persist().count()
+    osmline.persist().count()
+    return idx, osmline
+
+
+def test_rank_assignment(index):
+    idx, _ = index
+    got = {
+        r.osm_id: (r.rank_search, r.rank_address)
+        for r in idx.placex.select("osm_id", "rank_search", "rank_address").collect()
+    }
+    assert got[1] == (4, 4)            # country
+    assert got[10] == (8, 8)           # state
+    assert got[100] == (15, 16)        # capital city (search boost)
+    assert got[101] == (16, 16)        # city
+    assert got[1000] == (19, 20)       # suburb node
+    assert got[2000] == (19, 16)       # village node
+    assert got[10000] == (26, 26)      # residential street
+    assert got[100000] == (30, 30)     # POI
+    assert got[1000000 * 1 + 10000 * 100] == (30, 30)  # house
+
+
+def test_country_assignment(index):
+    idx, _ = index
+    ccs = idx.placex.groupBy("country_code").count().collect()
+    by_cc = {r.country_code: r["count"] for r in ccs}
+    assert by_cc.get("cv", 0) > 100  # everything inside the country polygon
+
+
+def test_parenting(index):
+    idx, _ = index
+    px = idx.placex
+    # houses parent to their addr:street (find_parent_for_poi step 2)
+    house = px.filter("osm_id = 2000000").head()  # house 0 of street 10000
+    assert house.parent_place_id == 10000 * 4 + 1  # street way place_id
+    # POIs parent to their tagged street
+    poi = px.filter("osm_id = 100000").head()
+    assert poi.parent_place_id == 10000 * 4 + 1  # street 0 of city 0
+    # streets parent to their city area
+    street = px.filter("osm_id = 10000").head()
+    assert street.parent_place_id == 100 * 4 + 2  # city 0 relation
+    # cities parent to their state
+    city = px.filter("osm_id = 100").head()
+    assert city.parent_place_id == 10 * 4 + 2  # Westmark
+
+
+def test_search_vectors_include_ancestors(index):
+    idx, _ = index
+    sn = idx.search_name
+    word = {r.word_id: r.word_token for r in idx.word.collect()}
+    poi = sn.filter("osm_id = 100000").head()
+    name_words = {word[i] for i in poi.name_vector}
+    addr_words = {word[i] for i in poi.nameaddress_vector}
+    assert "cafe" in name_words
+    assert "corvania" in addr_words  # country ancestor
+    assert "vels" in addr_words      # city ancestor
+    assert "birch" in addr_words     # parent street
+
+
+def test_forward_geocode_accuracy(spark, index):
+    idx, osmline = index
+    n_pages = 400
+    pages = synth.pages_df(spark, n_pages=n_pages, **SCALE)
+    mentions = (
+        extract_pages(pages)
+        .filter(F.col("mention").isNotNull())
+        .withColumn("query_id", F.col("url"))
+        .select("query_id", F.col("mention").alias("qtext"))
+    )
+    res = geocode(spark, idx, mentions, osmline=osmline)
+    got = {
+        r.query_id: (r.osm_type, r.osm_id)
+        for r in res.select("query_id", "osm_type", "osm_id").collect()
+    }
+    wrong = []
+    for p in range(n_pages):
+        url = [u for u in got if u.endswith(f"/{p}") ]
+        exp = synth.expected_target(p, **SCALE)
+        key = next((u for u in got if u.split("/")[-1] == str(p)), None)
+        if got.get(key) != exp:
+            wrong.append((p, got.get(key), exp))
+    assert not wrong, f"{len(wrong)} wrong, first: {wrong[:5]}"
+
+
+def test_interpolation_lookup(spark, index):
+    idx, osmline = index
+    # hnr 23 is inside the odd interpolation 21..39 on street 0 of city 0
+    # but is not an exact house (houses are 1..7)
+    q = spark.createDataFrame(
+        [("q1", f"{synth.street_name(0, 0)} 23, {synth.city_name(0)}"),
+         ("q2", f"{synth.street_name(0, 0)} 24, {synth.city_name(0)}"),
+         ("q3", f"{synth.street_name(0, 0)} 5, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(spark, idx, q, osmline=osmline).collect()}
+    assert res["q1"].type == "houses"          # interpolated
+    assert res["q1"].housenumber == "23"
+    assert res["q2"].penalty == 2              # even: street fallback
+    assert res["q2"].osm_type == "W"
+    assert res["q3"].osm_type == "N"           # exact house
+    assert res["q3"].housenumber == "5"
+
+
+def test_osmline_parity_normalization(index):
+    _, osmline = index
+    seg = osmline.filter("way_id = 5000000").head()
+    assert (seg.startnumber, seg.endnumber, seg.step) == (21, 39, 2)
+    assert seg.parent_place_id == 10000 * 4 + 1
+
+
+def test_reverse_geocode(spark, index):
+    idx, _ = index
+    cx, cy = synth.city_center(1)
+    pts = spark.createDataFrame(
+        [
+            ("on_street", cx - 0.05, cy - 0.1 + 0.0001),  # on street 0 of city 1
+            ("city_center", cx, cy + 0.08),               # inside city, off streets
+            ("rural", 10.9, 48.45),                       # country only
+        ],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r for r in reverse_geocode(spark, idx, pts).collect()}
+    assert res["on_street"].tier == "street_poi"
+    assert res["on_street"].rank_search >= 26
+    assert res["city_center"].tier == "area"
+    assert res["city_center"].osm_id == 101  # city 1 boundary
+    assert res["rural"].tier == "area"
+    assert res["rural"].osm_id in (1, 11)    # country or Ostmark state
+    assert res["rural"].country_code == "cv"
+
+
+def test_extraction_byte_identity(spark):
+    pages = synth.pages_df(spark, n_pages=50, **SCALE)
+    a = sorted(map(tuple, extract_pages(pages).collect()))
+    b = sorted(map(tuple, extract_pages(pages.repartition(7)).collect()))
+    assert a == b  # partition-order independent, deterministic per url
