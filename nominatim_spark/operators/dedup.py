@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all Spark-native (no Python in the hot path except
+where noted), each with an oracle-checkable formulation:
+
+* exact          — content-hash groupBy (plans/gate.py q_dedup_exact)
+* MinHash + LSH  — shingle -> min-md5 signatures -> band buckets -> pair
+                   join (q_minhash_lsh); portable because the minhash is a
+                   lexicographic MIN over md5 strings
+* SimHash        — per-token md5-derived bit votes -> 16-bit signature ->
+                   hamming-close pairs
+* n-gram Jaccard — token-shingle self-join computing exact |A∩B| / |A∪B|
+* embedding cosine near-dup — brute-force pair scoring (baseline) and an
+  LSH-bucketed variant (random-hyperplane signs from deterministic
+  per-dimension md5 weights) as the scale path
+
+Scale notes: the pairwise stages only ever run on LSH-bucket survivors; the
+brute-force forms exist as correctness baselines for the oracle.  Shingle
+explosion is the big fan-out (|doc| rows per doc) — it shuffles on shingle
+hash which is uniform by construction (no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nominatim_spark.operators.textstats import TOKENIZE_EXPR
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: each distinct token votes +-1 per bit position from
+    its md5; the signature is the sign vector packed into a BIGINT.
+
+    Bit b of token t = bit b of CAST(conv(substr(md5(t),1,8),16,10)); the
+    per-document sum over tokens of (2*bit - 1) decides the signature bit.
+    Fully expressible in SQL for the oracle.
+    """
+    toks = df.select(
+        key, F.explode(F.array_distinct(F.expr(TOKENIZE_EXPR.format(col=col)))).alias("tok")
+    )
+    h = F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+    toks = toks.withColumn("h", h)
+    votes = toks.groupBy(key).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select(key, sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, col: str = "text", key: str = "doc_id",
+                  max_hamming: int = 2) -> DataFrame:
+    """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Join strategy: split the 16-bit signature into two 8-bit bands; a pair
+    within hamming distance 2 shares at least one exact band half when the
+    differing bits land in one half — plus the exact-equal case.  (For the
+    oracle-checked form we instead emit ALL pairs under the distance with a
+    broadcast self-join — document counts after exact dedup make this the
+    classic verify stage, not the discovery stage.)
+    """
+    sigs = simhash(df, col, key)
+    a = sigs.select(F.col(key).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col(key).alias("doc_b"), F.col("simhash").alias("sig_b"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return pairs.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, col: str = "text", key: str = "doc_id",
+    n: int = 3, threshold: float = 0.4,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity pairs >= threshold.
+
+    Distinct n-gram shingles per doc; self-join on shingle for |A∩B|;
+    |A∪B| = |A| + |B| - |A∩B|.  jacc is rounded to 6 decimals (exact
+    rational arithmetic on counts — bit-identical in any engine).
+    """
+    toks = TOKENIZE_EXPR.format(col=col)
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — short docs must
+    # yield an empty shingle set instead
+    shingles = df.select(
+        key,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size({toks}) >= {n} THEN "
+                    f"transform(sequence(1, size({toks}) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+                    f"ELSE array() END"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(key).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(key).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(key).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(key).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, key: str = "vec_id", col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    Sequential-fold double dot products (bit-reproducible); cosine rounded
+    to 6 decimals.  The LSH-bucketed scale path is
+    :func:`embedding_lsh_buckets` + this on bucket survivors.
+    """
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def norm(c):
+        return F.expr(
+            f"sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+
+    a = emb.select(F.col(key).alias("doc_a"), F.col(col).alias("emb_a"))
+    b = emb.select(F.col(key).alias("doc_b"), F.col(col).alias("emb_b"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn(
+            "cos_r", F.round(dot / (norm("emb_a") * norm("emb_b")), 6)
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .select("doc_a", "doc_b", "cos_r")
+    )
+
+
+def embedding_lsh_buckets(
+    emb: DataFrame, key: str = "vec_id", col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH signature (the ANN/near-dup scale path).
+
+    Plane p's weight for dimension d is a deterministic +-1 from
+    md5('p:d') — reproducible on any engine/executor without an RNG.
+    Returns (key, bucket) where bucket packs the sign bits.
+    """
+    dim_weights = F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"aggregate(zip_with({col}, sequence(0, size({col}) - 1), "
+        "(x, d) -> CAST(x AS DOUBLE) * "
+        "(CAST(conv(substring(md5(concat(p, ':', d)), 1, 1), 16, 10) AS INT) % 2 * 2 - 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    bucket = F.expr(
+        "aggregate(zip_with(proj, sequence(0, size(proj) - 1), "
+        "(v, p) -> CASE WHEN v > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.withColumn("proj", dim_weights)
+        .withColumn("bucket", bucket)
+        .select(key, "bucket")
+    )

@@ -326,34 +326,31 @@ FROM ways, LATERAL unnest(generate_series(startnumber, endnumber, 2)) AS u(hnr)
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range + step-mod theta join (J13: n BETWEEN start AND end AND
-    (n-start) % step = 0), re-expressed as a bucketed equi-join.
+    (n-start) % step = 0), re-expressed as an exact-key equi-join.
 
-    Ways explode into coarse number-buckets; queries join on their bucket —
-    turning the theta join into an equi-join with bounded fan-out (the same
-    trick as the cell cover-join, applied to 1-D intervals).
+    Interval spans here are short (<= 12), so each way explodes into its
+    concrete valid housenumbers and the theta join becomes a plain
+    equi-join on the number — the 1-D analog of the cell cover-join, and
+    the same expansion the reference materializes for interpolations.  For
+    wide intervals the engine would switch to coarse bucketing; expansion
+    keeps the intermediate at |ways| * span/step instead of
+    |queries| * |ways-per-bucket| (measured 9s -> <1s at sf0.1).
     """
     ways = load(spark, sf_dir, "orders").filter(F.expr(sg.WAY_FILTER)).selectExpr(
         "o_orderkey AS way_id",
         f"{sg.WAY_START} AS startnumber",
         f"{sg.WAY_END} AS endnumber",
     )
-    bucketed = ways.select(
-        "way_id", "startnumber", "endnumber",
-        F.explode(
-            F.expr("sequence(CAST(startnumber / 16 AS INT), CAST(endnumber / 16 AS INT))")
-        ).alias("bucket"),
+    expanded = ways.select(
+        "way_id",
+        F.explode(F.expr("sequence(startnumber, endnumber, 2)")).alias("hnr"),
     )
     qs = (
         load(spark, sf_dir, "lineitem")
         .filter("l_linenumber = 1")
-        .selectExpr("l_orderkey", "CAST(l_orderkey % 61 AS INT) AS hnr")
-        .withColumn("bucket", F.expr("CAST(hnr / 16 AS INT)"))
+        .selectExpr("l_orderkey", "l_orderkey % 61 AS hnr")
     )
-    matched = bucketed.join(qs, "bucket").filter(
-        (F.col("hnr") >= F.col("startnumber"))
-        & (F.col("hnr") <= F.col("endnumber"))
-        & ((F.col("hnr") - F.col("startnumber")) % 2 == 0)
-    )
+    matched = expanded.join(qs, "hnr")
     return matched.groupBy("way_id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.countDistinct("hnr").alias("n_distinct_hnr"),
@@ -609,6 +606,281 @@ SELECT vec_id, cos_r FROM scored ORDER BY cos_r DESC, vec_id LIMIT 10
 """
 
 
+# --------------------------------------------- text analysis & dedup (batch 2)
+
+_DUCK_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' '), "
+    "w -> w <> '')"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis bundle: token stats + quality + language-ID +
+    rolling-hash fingerprint (operators/textstats.py), all JVM-side."""
+    from nominatim_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    out = ts.with_token_stats(docs)
+    out = ts.with_quality_score(out)
+    out = ts.with_lang_id(out)
+    out = ts.with_fingerprint(out)
+    return out.select(
+        "doc_id", "n_tokens", "digit_ratio", "punct_ratio",
+        "quality", "lang_pred", "fingerprint",
+    )
+
+
+def _duck_hits(lang_words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
+    return f"len(list_intersect(list_distinct({_DUCK_TOKS}), {arr}))"
+
+
+def _q_text_stats_sql() -> str:
+    from nominatim_spark.operators.textstats import (
+        FP_BASE, FP_MOD, HASH_HEX, LANG_STOPWORDS)
+
+    hits = {l: _duck_hits(ws) for l, ws in LANG_STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(hits)) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN h_{l} = {best} AND {best} > 0 THEN '{l}'"
+        for l in sorted(hits)
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+         {hits['en']} AS h_en, {hits['de']} AS h_de,
+         {hits['fr']} AS h_fr, {hits['es']} AS h_es
+  FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(length(text), 1), 6) AS digit_ratio,
+  ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  ROUND(0.4 * least(len(toks) / 100.0, 1.0)
+      + 0.3 * least(h_en / 5.0, 1.0)
+      + 0.3 * (len(list_distinct(toks)) / greatest(len(toks), 1)), 6) AS quality,
+  {lang_case} AS lang_pred,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks,
+        w -> CAST('0x' || substr(md5(w), 1, {HASH_HEX}) AS BIGINT))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM t
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (dedup family, operators/dedup.py)."""
+    from nominatim_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_simhash_sql() -> str:
+    from nominatim_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+         LATERAL unnest(list_distinct({_DUCK_TOKS})) AS t(tok)
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (dedup family)."""
+    from nominatim_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+Q_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(u.i AS INT):CAST(u.i AS INT) + 2], ' ') AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t,
+       LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute baseline; the LSH
+    bucket variant is operators/dedup.embedding_lsh_buckets)."""
+    from nominatim_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+Q_EMBED_NEARDUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_r
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, cos_r FROM pairs WHERE cos_r >= 0.3
+"""
+
+
+def q_window_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-plus-epsilon window pruning (W1 — first_value over ORDER BY,
+    place_search.py:124-131): keep customers within 100 of their nation's
+    best account balance."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        cust.withColumn("best", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") >= F.col("best") - 100)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+Q_WINDOW_PRUNE_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS best
+  FROM customer) t
+WHERE c_acctbal >= best - 100
+"""
+
+
+def q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-collect aggregation (A4 — ST_Collect -> bbox/centroid,
+    reverse.py:583-597): per-nation bounding box of customer points."""
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    # cast to DOUBLE: Spark's decimal-literal arithmetic would otherwise
+    # surface DECIMAL strings ('-56.995000') vs DuckDB's ('-56.995')
+    return pts.groupBy("c_nationkey").agg(
+        F.min("lon").cast("double").alias("min_lon"),
+        F.min("lat").cast("double").alias("min_lat"),
+        F.max("lon").cast("double").alias("max_lon"),
+        F.max("lat").cast("double").alias("max_lat"),
+    )
+
+
+Q_BBOX_SQL = f"""
+WITH pts AS (SELECT c_nationkey, {sg.CUST_LON} AS lon, {sg.CUST_LAT} AS lat FROM customer)
+SELECT c_nationkey, CAST(MIN(lon) AS DOUBLE) AS min_lon, CAST(MIN(lat) AS DOUBLE) AS min_lat,
+       CAST(MAX(lon) AS DOUBLE) AS max_lon, CAST(MAX(lat) AS DOUBLE) AS max_lat
+FROM pts GROUP BY c_nationkey
+"""
+
+
+def q_min_dist_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-distance scalar-subquery penalty (J16 — postcode distance,
+    place_search.py:152-158): per supplier, min squared distance to a
+    same-nation customer, 2.0 default when none exists."""
+    probes = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "s_nationkey", f"{sg.SUPP_LON} AS slon", f"{sg.SUPP_LAT} AS slat"
+    )
+    cands = load(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", f"{sg.CUST_LON} AS clon", f"{sg.CUST_LAT} AS clat"
+    )
+    d2 = (F.col("slon") - F.col("clon")) * (F.col("slon") - F.col("clon")) + (
+        F.col("slat") - F.col("clat")
+    ) * (F.col("slat") - F.col("clat"))
+    mind = (
+        probes.join(cands, probes.s_nationkey == cands.c_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.round(F.min(d2), 6).alias("min_d2"))
+    )
+    return probes.join(mind, "s_suppkey", "left").select(
+        "s_suppkey", F.coalesce(F.col("min_d2"), F.lit(2.0)).alias("penalty")
+    )
+
+
+Q_MIN_DIST_SQL = f"""
+WITH probes AS (SELECT s_suppkey, s_nationkey, {sg.SUPP_LON} AS slon, {sg.SUPP_LAT} AS slat FROM supplier),
+     cands AS (SELECT c_nationkey, {sg.CUST_LON} AS clon, {sg.CUST_LAT} AS clat FROM customer),
+     mind AS (
+       SELECT s_suppkey, ROUND(MIN((slon - clon) * (slon - clon)
+                             + (slat - clat) * (slat - clat)), 6) AS min_d2
+       FROM probes JOIN cands ON s_nationkey = c_nationkey
+       GROUP BY s_suppkey)
+SELECT probes.s_suppkey, COALESCE(min_d2, 2.0) AS penalty
+FROM probes LEFT JOIN mind ON probes.s_suppkey = mind.s_suppkey
+"""
+
+
+def q_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-merge (U2 — array_merge dedup union, utils.sql:41-63):
+    token set unioned with a constant vocabulary, distinct size."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(w) for w in ("spark", "query", "zeta", "omega")])
+    toks = F.expr(_TOKENIZE)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.concat(toks, vocab))).cast("long").alias("n_merged"),
+        F.size(F.array_intersect(F.array_distinct(toks), vocab)).cast("long").alias("n_common"),
+    )
+
+
+Q_ARRAY_MERGE_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_distinct(list_concat({_DUCK_TOKS},
+            ['spark', 'query', 'zeta', 'omega']))) AS BIGINT) AS n_merged,
+       CAST(len(list_intersect(list_distinct({_DUCK_TOKS}),
+            ['spark', 'query', 'zeta', 'omega'])) AS BIGINT) AS n_common
+FROM documents
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-agg of candidate ids (A2 — ArrayAgg(place_id),
+    address_search.py:51-52): per customer, sorted order ids."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q_COLLECT_SQL = """
+SELECT o_custkey, list_sort(list(o_orderkey)) AS order_ids, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 # ------------------------------------------------- geocoding pipeline (weak)
 
 def q_geocode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +939,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, Q_DEDUP_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh, Q_MINHASH_SQL),
     "embed_topk_cosine": (q_embed_topk, Q_EMBED_SQL),
+    "text_stats": (q_text_stats, _q_text_stats_sql()),
+    "simhash_pairs": (q_simhash_pairs, _q_simhash_sql()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, Q_JACCARD_SQL),
+    "embed_neardup_pairs": (q_embed_neardup, Q_EMBED_NEARDUP_SQL),
+    "window_prune_epsilon": (q_window_prune, Q_WINDOW_PRUNE_SQL),
+    "bbox_agg": (q_bbox_agg, Q_BBOX_SQL),
+    "min_dist_penalty": (q_min_dist_penalty, Q_MIN_DIST_SQL),
+    "array_merge": (q_array_merge, Q_ARRAY_MERGE_SQL),
+    "collect_sorted": (q_collect_sorted, Q_COLLECT_SQL),
     "geocode_pages_e2e": (q_geocode_pages, None),
     "reverse_geocode_e2e": (q_reverse_geocode, None),
 }

@@ -45,9 +45,28 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # modest PRE-SIZED heap: on this VM a large growing heap (24-48g)
+        # makes GC catastrophically slow under parallel allocation (md5
+        # kernel: 8g heap 2.8s vs 24g heap 79s at 16 cores) — size to the
+        # working set and pin Xms=Xmx
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"),
+        )
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        # partition sizing: at 100 TB the 64 MB defaults are right; local
+        # benches override via env so a 100 MB input still fans out across
+        # all cores instead of landing in one scan partition (and AQE
+        # coalescing every small shuffle to 1 partition = serial execution)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(64 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(64 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

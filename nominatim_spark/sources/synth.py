@@ -215,40 +215,73 @@ def expected_target(page_idx: int, n_cities: int = 8, n_streets: int = 12,
     return "R", 100 + city
 
 
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_EPOCH = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
+
+
+def _page_row(p: int, n_cities: int, n_streets: int, n_houses: int,
+              n_pois: int, n_filler: int = 1) -> dict:
+    """``n_filler`` controls page size (real crawl pages are KBs, not
+    bytes); benchmarks use ~15 paragraphs (~4 KB html)."""
+    mention, kind, city = _mention(p, n_cities, n_streets, n_houses, n_pois)
+    paras = "".join(
+        f"<p>{_FILLER[(p + k) % len(_FILLER)]} item {p % 1000}-{k}</p>"
+        for k in range(n_filler)
+    )
+    geo = ""
+    if p % 5 == 0:
+        cx, cy = city_center(city)
+        geo = (
+            f'<meta name="geo" content="{cy + (p % 7) * 0.001:.6f};'
+            f'{cx + (p % 11) * 0.001:.6f}">'
+        )
+    html = (
+        f"<html><head><title>page {p}</title>{geo}</head><body>"
+        f"{paras}<span class=\"adr\">{mention}</span>{paras}</body></html>"
+    )
+    return {
+        "url": f"https://site{p % 97}.example/{kind}/{p}",
+        "warc_ts": _EPOCH + dt.timedelta(seconds=p * 37),
+        "html": html.encode("utf-8"),
+        "text": f"page {p} {_FILLER[p % len(_FILLER)]} {mention}",
+        "lang": _LANGS[p % len(_LANGS)],
+    }
+
+
 def make_pages(n_pages: int = 2000, n_cities: int = 8, n_streets: int = 12,
-               n_houses: int = 10, n_pois: int = 5) -> pd.DataFrame:
+               n_houses: int = 10, n_pois: int = 5, n_filler: int = 1) -> pd.DataFrame:
     """Common-Crawl-style pages embedding address mentions.
 
     html embeds the mention in ``<span class="adr">...</span>`` plus an
     optional ``<meta name="geo" content="lat;lon">`` for reverse geocoding;
     text carries the same mention inline (the byte-identity oracle).
     """
-    langs = ["en", "de", "fr", "es", "zh"]
-    epoch = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
-    rows = []
-    for p in range(n_pages):
-        mention, kind, city = _mention(p, n_cities, n_streets, n_houses, n_pois)
-        filler = _FILLER[p % len(_FILLER)]
-        geo = ""
-        if p % 5 == 0:
-            cx, cy = city_center(city)
-            geo = (
-                f'<meta name="geo" content="{cy + (p % 7) * 0.001:.6f};'
-                f'{cx + (p % 11) * 0.001:.6f}">'
+    return pd.DataFrame(
+        [_page_row(p, n_cities, n_streets, n_houses, n_pois, n_filler)
+         for p in range(n_pages)]
+    )
+
+
+def pages_df_dist(spark, n_pages: int, n_cities: int = 8, n_streets: int = 12,
+                  n_houses: int = 10, n_pois: int = 5, parallelism: int = 64,
+                  n_filler: int = 1):
+    """Distributed page synthesis: page index is the only input, so every
+    partition generates its slice independently — scales linearly with
+    executors (and the rows are identical to make_pages at any
+    parallelism)."""
+    from typing import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_page_row(int(p), n_cities, n_streets, n_houses, n_pois, n_filler)
+                 for p in pdf["id"]]
             )
-        html = (
-            f"<html><head><title>page {p}</title>{geo}</head><body>"
-            f"<p>{filler}</p><span class=\"adr\">{mention}</span>"
-            f"<p>{filler}</p></body></html>"
-        )
-        rows.append({
-            "url": f"https://site{p % 97}.example/{kind}/{p}",
-            "warc_ts": epoch + dt.timedelta(seconds=p * 37),
-            "html": html.encode("utf-8"),
-            "text": f"page {p} {filler} {mention} {filler}",
-            "lang": langs[p % len(langs)],
-        })
-    return pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_pages, numPartitions=parallelism)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
 
 
 PLACE_SCHEMA = (
