@@ -66,6 +66,43 @@ def main() -> None:
         materialize(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # flagship throughput: steady-state pages -> extract -> geocode
+    # (one warmup for codegen/JIT, then timed; same protocol as
+    # bench_scaling.py)
+    from pyspark.sql import functions as Fn
+
+    from nominatim_spark.pipeline.extract import extract_pages
+    from nominatim_spark.pipeline.search import geocode
+    from nominatim_spark.plans.flagship import build_synth_index
+    from nominatim_spark.sources import synth
+
+    idx, osmline = build_synth_index(
+        spark, ckpt_root="/tmp/nominatim_bench_ckpt", resume=True,
+        n_cities=8, n_streets=12, n_houses=10, n_pois=5,
+    )
+    idx.search_name.persist().count()
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+    pages = synth.pages_df_dist(spark, n_pages, n_filler=15).persist()
+    pages.count()
+
+    def geocode_job():
+        m = (
+            extract_pages(pages)
+            .filter(Fn.col("mention").isNotNull())
+            .withColumn("query_id", Fn.col("url"))
+            .select("query_id", Fn.col("mention").alias("qtext"))
+        )
+        return geocode(spark, idx, m, osmline=osmline).count()
+
+    geocode_job()  # warmup
+    spark.catalog.clearCache()
+    idx.search_name.persist()
+    pages.persist().count()
+    t0 = time.time()
+    geocode_job()
+    geocode_sec = time.time() - t0
+    timings["flagship_geocode"] = round(geocode_sec, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -78,6 +115,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "geocode_docs_per_sec": round(n_pages / geocode_sec, 1),
+                "geocode_n_pages": n_pages,
                 "sf": sf_val,
                 "cpus": CPUS,
             }

@@ -1,0 +1,104 @@
+"""Result sinks / output formatters (SURVEY §2.1 S7).
+
+The reference serializes results to JSON / JSONv2 / GeoJSON / geocodejson /
+XML (src/nominatim_api/v1/format.py, format_json.py, format_xml.py).  Here
+each format is a *column expression* producing the serialized document
+JVM-side (`to_json(struct(...))` / `concat` for XML) so a 10^12-row result
+table serializes in parallel with zero Python.
+
+Field mapping follows the reference's json formatter: place_id, licence,
+osm_type/osm_id, lat/lon (as strings, like the reference), display_name,
+class/type, importance, and a [south, north, west, east] boundingbox.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LICENCE = "Data synthesized by nominatim_spark; reference semantics ODbL"
+
+_OSM_TYPE_NAME = {"N": "node", "W": "way", "R": "relation"}
+
+
+def _osm_type_long(col: str = "osm_type") -> Column:
+    expr = F.lit("node")
+    for short, name in _OSM_TYPE_NAME.items():
+        expr = F.when(F.col(col) == short, name).otherwise(expr)
+    return expr
+
+
+def _bbox_array(half: float = 0.0001) -> Column:
+    """[south, north, west, east] strings — point bbox like the reference's
+    fallback for non-area results."""
+    return F.array(
+        F.format_number(F.col("lat") - half, 7),
+        F.format_number(F.col("lat") + half, 7),
+        F.format_number(F.col("lon") - half, 7),
+        F.format_number(F.col("lon") + half, 7),
+    )
+
+
+def result_struct(display_name: Column | None = None) -> Column:
+    if display_name is None:
+        display_name = F.col("display_name")
+    return F.struct(
+        F.col("place_id"),
+        F.lit(LICENCE).alias("licence"),
+        _osm_type_long().alias("osm_type"),
+        F.col("osm_id"),
+        F.col("lat").cast("string").alias("lat"),
+        F.col("lon").cast("string").alias("lon"),
+        F.col("class"),
+        F.col("type"),
+        F.coalesce(F.col("importance"), F.lit(0.0)).alias("importance"),
+        display_name.alias("display_name"),
+        _bbox_array().alias("boundingbox"),
+    )
+
+
+def to_json_col(df: DataFrame, out: str = "result_json") -> DataFrame:
+    """Nominatim /search JSON format as a serialized column."""
+    return df.withColumn(out, F.to_json(result_struct()))
+
+
+def to_geojson_col(df: DataFrame, out: str = "result_geojson") -> DataFrame:
+    """GeoJSON Feature per result (geometry = centroid point)."""
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        result_struct().alias("properties"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+    )
+    return df.withColumn(out, F.to_json(feature))
+
+
+def to_xml_col(df: DataFrame, out: str = "result_xml") -> DataFrame:
+    """The reference's <place> XML element, built by concat (JVM-side)."""
+    esc = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(c.cast("string"), "&", "&amp;"), "<", "&lt;"
+        ),
+        '"', "&quot;",
+    )
+    return df.withColumn(
+        out,
+        F.concat(
+            F.lit('<place place_id="'), F.col("place_id").cast("string"),
+            F.lit('" osm_type="'), _osm_type_long(),
+            F.lit('" osm_id="'), F.col("osm_id").cast("string"),
+            F.lit('" lat="'), F.col("lat").cast("string"),
+            F.lit('" lon="'), F.col("lon").cast("string"),
+            F.lit('" class="'), esc(F.col("class")),
+            F.lit('" type="'), esc(F.col("type")),
+            F.lit('" display_name="'), esc(F.col("display_name")),
+            F.lit('"/>'),
+        ),
+    )
+
+
+def display_name_col(parts: list[str]) -> Column:
+    """Comma-joined display name from name-part columns (null-safe),
+    mirroring the reference's locale line assembly (results.py)."""
+    return F.concat_ws(", ", *[F.col(p) for p in parts])

@@ -74,9 +74,12 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
 
 
 def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
-    """Explode space-separated normalized terms and map to word ids ('w')."""
+    """Explode space-separated normalized terms and map to word ids ('w').
+
+    All non-text columns of ``df`` ride along (token counts etc.)."""
+    riders = [c for c in df.columns if c != col]
     toks = df.select(
-        "query_id", F.explode(F.split(F.col(col), " ")).alias("_tok")
+        *riders, F.explode(F.split(F.col(col), " ")).alias("_tok")
     ).filter(F.col("_tok") != "")
     w = word.filter(F.col("type") == "w").select(
         F.col("word_token").alias("_tok"), F.col("word_id").alias(out)
@@ -106,28 +109,43 @@ def geocode(
     # Same principle as the reference's rare-token-first lookup planning
     # (db_search_fields.py:36-57): drive with the selective set, recheck
     # the rest.
-    name_toks = _token_ids(q, idx.word, "name_norm", "word_id")
-    n_name = name_toks.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_name_toks")
+    # token counts are computed INLINE on the query row (size of the split
+    # array) instead of a groupBy+join round trip — saves two shuffles; the
+    # count rides along the exploded token rows and is recovered with
+    # first() inside the one necessary aggregation.
+    q = q.withColumn(
+        "n_name_toks",
+        F.size(F.expr("filter(split(name_norm, ' '), w -> w <> '')")),
+    ).withColumn(
+        "n_addr_toks",
+        F.size(F.expr("filter(split(addr_norm, ' '), w -> w <> '')")),
+    )
+
+    name_toks = _token_ids(
+        q.select("query_id", "name_norm", "n_name_toks"), idx.word,
+        "name_norm", "word_id",
     )
     name_hits = (
         name_toks.filter(F.col("word_id").isNotNull())
         .join(idx.name_postings, "word_id")
         .groupBy("query_id", "place_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .join(n_name, "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.first("n_name_toks").alias("n_name_toks"),
+        )
         .filter(F.col("n_hit") == F.col("n_name_toks"))
         .select("query_id", "place_id")
     )
 
     # address lane (Restrict recheck, J3): every addr token must appear in
     # the candidate's nameaddress_vector — semijoin restricted to the name
-    # candidates, never the full posting table
+    # candidates, never the full posting table (see module docstring:
+    # address tokens are anti-selective)
     addr_toks = _token_ids(
-        q.filter(F.col("addr_norm") != ""), idx.word, "addr_norm", "word_id"
-    )
-    n_addr = addr_toks.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_addr_toks")
+        q.filter(F.col("addr_norm") != "").select(
+            "query_id", "addr_norm", "n_addr_toks"
+        ),
+        idx.word, "addr_norm", "word_id",
     )
     addr_ok = (
         name_hits.join(
@@ -135,14 +153,20 @@ def geocode(
         )
         .join(idx.addr_postings, ["word_id", "place_id"], "left_semi")
         .groupBy("query_id", "place_id")
-        .agg(F.count(F.lit(1)).alias("n_addr_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_addr_hit"),
+            F.first("n_addr_toks").alias("n_addr_toks"),
+        )
     )
     with_addr = (
-        name_hits.join(n_addr, "query_id", "left")
-        .join(addr_ok, ["query_id", "place_id"], "left")
+        name_hits.join(addr_ok, ["query_id", "place_id"], "left")
+        .join(
+            q.select("query_id", F.col("n_addr_toks").alias("q_addr_toks")),
+            "query_id",
+        )
         .filter(
-            F.col("n_addr_toks").isNull()
-            | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("n_addr_toks"))
+            (F.col("q_addr_toks") == 0)
+            | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("q_addr_toks"))
         )
         .select("query_id", "place_id")
     )
@@ -247,12 +271,15 @@ def geocode(
     if interp_hits is not None:
         all_hits = all_hits.unionByName(interp_hits)
 
-    # final ranking: lowest penalty, then importance desc, then stable id
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("penalty"), F.col("importance").desc(), F.col("place_id")
+    # final ranking: lowest penalty, then importance desc, then stable id.
+    # min_by over an orderable struct = one hash aggregation (with map-side
+    # partial) instead of a sort + window — cheaper by a full sort and
+    # deterministic because (penalty, -importance, place_id) is unique.
+    val_cols = [c for c in all_hits.columns if c != "query_id"]
+    best = all_hits.groupBy("query_id").agg(
+        F.expr(
+            "min_by(struct(" + ", ".join(val_cols) + "), "
+            "struct(penalty, -importance, place_id))"
+        ).alias("_best")
     )
-    return (
-        all_hits.withColumn("_rn", F.row_number().over(w))
-        .filter("_rn = 1")
-        .drop("_rn")
-    )
+    return best.select("query_id", "_best.*")

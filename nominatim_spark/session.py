@@ -52,7 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"),
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g")
+            # throughput collector: measurably better than G1 for the
+            # allocation-heavy codegen kernels on this host
+            + " -XX:+UseParallelGC",
         )
         .config("spark.ui.enabled", "false")
         # partition sizing: at 100 TB the 64 MB defaults are right; local

@@ -220,10 +220,13 @@ _EPOCH = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
 
 
 def _page_row(p: int, n_cities: int, n_streets: int, n_houses: int,
-              n_pois: int, n_filler: int = 1) -> dict:
+              n_pois: int, n_filler: int = 1, mention_pct: int = 100) -> dict:
     """``n_filler`` controls page size (real crawl pages are KBs, not
-    bytes); benchmarks use ~15 paragraphs (~4 KB html)."""
+    bytes); ``mention_pct`` the share of pages carrying an address mention
+    (real crawls are mostly non-geocodable pages). Benchmarks use ~40
+    paragraphs / 10 percent."""
     mention, kind, city = _mention(p, n_cities, n_streets, n_houses, n_pois)
+    has_mention = (p * 61 % 100) < mention_pct
     paras = "".join(
         f"<p>{_FILLER[(p + k) % len(_FILLER)]} item {p % 1000}-{k}</p>"
         for k in range(n_filler)
@@ -235,15 +238,17 @@ def _page_row(p: int, n_cities: int, n_streets: int, n_houses: int,
             f'<meta name="geo" content="{cy + (p % 7) * 0.001:.6f};'
             f'{cx + (p % 11) * 0.001:.6f}">'
         )
+    adr = f"<span class=\"adr\">{mention}</span>" if has_mention else ""
     html = (
         f"<html><head><title>page {p}</title>{geo}</head><body>"
-        f"{paras}<span class=\"adr\">{mention}</span>{paras}</body></html>"
+        f"{paras}{adr}{paras}</body></html>"
     )
     return {
         "url": f"https://site{p % 97}.example/{kind}/{p}",
         "warc_ts": _EPOCH + dt.timedelta(seconds=p * 37),
         "html": html.encode("utf-8"),
-        "text": f"page {p} {_FILLER[p % len(_FILLER)]} {mention}",
+        "text": f"page {p} {_FILLER[p % len(_FILLER)]}"
+                + (f" {mention}" if has_mention else ""),
         "lang": _LANGS[p % len(_LANGS)],
     }
 
@@ -264,7 +269,7 @@ def make_pages(n_pages: int = 2000, n_cities: int = 8, n_streets: int = 12,
 
 def pages_df_dist(spark, n_pages: int, n_cities: int = 8, n_streets: int = 12,
                   n_houses: int = 10, n_pois: int = 5, parallelism: int = 64,
-                  n_filler: int = 1):
+                  n_filler: int = 1, mention_pct: int = 100):
     """Distributed page synthesis: page index is the only input, so every
     partition generates its slice independently — scales linearly with
     executors (and the rows are identical to make_pages at any
@@ -274,7 +279,8 @@ def pages_df_dist(spark, n_pages: int, n_cities: int = 8, n_streets: int = 12,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
-                [_page_row(int(p), n_cities, n_streets, n_houses, n_pois, n_filler)
+                [_page_row(int(p), n_cities, n_streets, n_houses, n_pois,
+                           n_filler, mention_pct)
                  for p in pdf["id"]]
             )
 
