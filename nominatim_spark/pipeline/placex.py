@@ -460,11 +460,21 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
         ["placex_base"],
     )
     df3 = stage("placex_adjusted", lambda: adjust_ranks(df2), ["placex_ranked"])
-    df4 = stage("placex", lambda: assign_parents(df3).withColumn(
+    df4 = stage("placex_parented", lambda: assign_parents(df3).withColumn(
         # default importance (importance.sql:146-206 fallback formula)
         "importance", F.lit(0.40001) - F.col("rank_search") / F.lit(75.0)
     ), ["placex_adjusted"])
-    return df4
+
+    def _linked():
+        from nominatim_spark.pipeline.linking import link_places
+
+        out = link_places(spark, df4)
+        # boundary centroids may have moved to their label node: refresh
+        # the locality cell key
+        return out.withColumn("cell", F.expr(grid.encode_sql("lon", "lat", CELL_RES)))
+
+    df5 = stage("placex", _linked, ["placex_parented"])
+    return df5
 
 
 def build_index(spark, place: DataFrame, ckpt_root: str | None = None,

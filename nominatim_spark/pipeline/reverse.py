@@ -36,6 +36,9 @@ def reverse_geocode(
 ) -> DataFrame:
     """points(point_id, lon, lat) -> best place per point."""
     placex = idx.placex
+    if "linked_place_id" in placex.columns:
+        # linked label nodes never surface as reverse results (P5 guard)
+        placex = placex.filter(F.col("linked_place_id").isNull())
 
     # ---- tier 1: nearest street/POI within the radius
     near_places = placex.filter(

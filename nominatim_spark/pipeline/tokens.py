@@ -50,6 +50,12 @@ canon_hnr_udf = F.pandas_udf(
 
 
 def build_search_tables(spark, placex: DataFrame) -> IndexTables:
+    # linked label nodes are excluded from the search index — the P5 guard
+    # (linked_place_id IS NULL, place_search.py:182-183); their boundary
+    # carries the searchable entry
+    if "linked_place_id" in placex.columns:
+        placex = placex.filter(F.col("linked_place_id").isNull())
+
     # ---- per-place normalized name & housenumber
     named = placex.withColumn(
         "norm_name", norm_name_udf(F.col("name").getItem("name"))

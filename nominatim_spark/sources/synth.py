@@ -102,10 +102,20 @@ def make_places(n_cities: int = 8, n_streets: int = 12, n_houses: int = 10,
 
     for i in range(n_cities):
         cx, cy = city_center(i)
+        extratags = {"wikidata": f"Q{1000 + i}"}
+        if i == 0:
+            extratags["capital"] = "yes"
         add("R", 100 + i, "boundary", "administrative", city_name(i),
-            {"postcode": f"47{i:03d}"}, {"capital": "yes"} if i == 0 else None,
+            {"postcode": f"47{i:03d}"}, extratags,
             box_wkb(cx - 0.15, cy - 0.12, cx + 0.15, cy + 0.12), admin_level=8,
             categories=["osm.boundary.administrative", "osm.place.city"])
+
+    # label nodes for cities: same name + wikidata as the boundary ->
+    # linked during indexing (placex_triggers.sql:271-391, linking.feature)
+    for i in range(n_cities):
+        cx, cy = city_center(i)
+        add("N", 3000 + i, "place", "city", city_name(i), None,
+            {"wikidata": f"Q{1000 + i}"}, point_wkb(cx + 0.01, cy + 0.008))
 
     # suburbs in the hot city 0
     cx0, cy0 = city_center(0)

@@ -31,11 +31,12 @@ def test_build_postcodes(spark, pc_index):
     assert p0.country_code == "cv"
     # single contributing point -> extent 0 -> rank 25 (postcodes.py:42-49)
     assert p0.rank_search == 25
-    # centroid is the fixed-point mean of contributing points (city center)
+    # centroid is the fixed-point mean of contributing points — the city
+    # boundary, whose centroid was adopted from its linked label node
     from nominatim_spark.sources.synth import city_center
 
     cx, cy = city_center(0)
-    assert abs(p0.lon - cx) < 1e-6 and abs(p0.lat - cy) < 1e-6
+    assert abs(p0.lon - (cx + 0.01)) < 1e-6 and abs(p0.lat - (cy + 0.008)) < 1e-6
 
 
 def test_postcode_pattern_predicate(spark):
