@@ -119,7 +119,7 @@ def knn_join(
     points: DataFrame,
     candidates: DataFrame,
     *,
-    k_cells_start: int = 1,
+    k_cells_start: int = 2,  # k=1's provable radius is 0 cells — wasted round
     k_cells_max: int = 256,
     res: int = 0,
     point_key: str = "point_id",

@@ -391,11 +391,55 @@ def assign_parents(placex: DataFrame) -> DataFrame:
         .select("place_id", F.col("street_id").alias("parent_place_id"))
     )
 
-    # POIs without street tag — or whose street match found nothing —
+    # --- addr:place lane (token_matches_place within 0.04 deg,
+    # partition-functions.sql:181-207): POIs naming a place instead of a
+    # street parent to the nearest same-named place node/area
+    place_cands = placex.filter(
+        F.col("rank_address").between(16, 25)
+        & F.col("name").getItem("name").isNotNull()
+    ).select("place_id", "name", "lon", "lat").toPandas()
+    place_rows = []
+    pad = 0.04
+    for r in place_cands.itertuples():
+        key = norm_translit((r.name or {}).get("name", ""))
+        if not key:
+            continue
+        for c in grid.cover_bbox(r.lon - pad, r.lat - pad, r.lon + pad,
+                                 r.lat + pad, CELL_RES, limit=65536):
+            place_rows.append((r.place_id, key, int(c), r.lon, r.lat))
+    place_cells = spark.createDataFrame(
+        pd.DataFrame(place_rows,
+                     columns=["pl_id", "pl_key", "cell", "pl_lon", "pl_lat"])
+    )
+    pois_pl = placex.filter(
+        (F.col("rank_search") >= 28)
+        & F.col("address").getItem("place").isNotNull()
+        # addr:street wins over addr:place (find_parent_for_poi order)
+        & F.col("address").getItem("street").isNull()
+    ).select("place_id", "lon", "lat", "cell",
+             F.col("address").getItem("place").alias("_pl"))
+    pois_pl = pois_pl.withColumn("pl_key", norm_udf("_pl"))
+    pl_cand = pois_pl.join(F.broadcast(place_cells), ["cell", "pl_key"])
+    pl_cand = pl_cand.withColumn(
+        "dist2",
+        (F.col("lon") - F.col("pl_lon")) * (F.col("lon") - F.col("pl_lon"))
+        + (F.col("lat") - F.col("pl_lat")) * (F.col("lat") - F.col("pl_lat")),
+    )
+    w3 = Window.partitionBy("place_id").orderBy("dist2", "pl_id")
+    place_parent = (
+        pl_cand.withColumn("_rn", F.row_number().over(w3))
+        .filter("_rn = 1")
+        .select("place_id", F.col("pl_id").alias("parent_place_id"))
+    )
+
+    # POIs without street/place tag — or whose matches found nothing —
     # fall back to the containing area (find_parent_for_poi last resort)
+    matched_so_far = poi_parent.select("place_id").unionByName(
+        place_parent.select("place_id")
+    )
     poi_rest = (
         placex.filter(F.col("rank_search") >= 28)
-        .join(poi_parent.select("place_id"), "place_id", "left_anti")
+        .join(matched_so_far, "place_id", "left_anti")
         .select("place_id", "lon", "lat", "rank_address")
     )
     hit2 = point_in_polygon_join(
@@ -411,9 +455,13 @@ def assign_parents(placex: DataFrame) -> DataFrame:
         .select("place_id", F.col("a_id").alias("parent_place_id"))
     )
 
-    parents = low_parent.unionByName(poi_parent).unionByName(rest_parent)
-    # one parent per place (POI street match wins over area fallback by
-    # construction: disjoint filters)
+    parents = (
+        low_parent.unionByName(poi_parent)
+        .unionByName(place_parent)
+        .unionByName(rest_parent)
+    )
+    # one parent per place (street / place / fallback lanes are disjoint
+    # by construction)
     return placex.join(parents, "place_id", "left")
 
 

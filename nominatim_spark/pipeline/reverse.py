@@ -46,7 +46,7 @@ def reverse_geocode(
     ).select(F.col("place_id").alias("cand_id"), "lon", "lat")
     knn = knn_join(
         points, near_places, res=7, point_key=point_key, cand_key="cand_id",
-        k_cells_start=1, k_cells_max=4,
+        k_cells_start=2, k_cells_max=4,
     )
     tier1 = knn.filter(
         F.col("dist2") <= MAX_STREET_DIST_DEG ** 2

@@ -125,10 +125,17 @@ def make_places(n_cities: int = 8, n_streets: int = 12, n_houses: int = 10,
         add("N", 1000 + s, "place", "suburb", sname, None, None,
             point_wkb(sx, sy))
 
-    # a couple of free-standing villages
+    # a couple of free-standing villages, each with addr:place houses
+    # (find_parent_for_poi's place lane, partition-functions.sql:181-207)
     for v in range(3):
+        vx, vy = 9.1 + v * 0.61, 48.31 + v * 0.05
         add("N", 2000 + v, "place", "village", f"Dorf {city_name(v + 8)}",
-            None, None, point_wkb(9.1 + v * 0.61, 48.31 + v * 0.05))
+            None, None, point_wkb(vx, vy))
+        for h in range(2):
+            add("N", 4000 + v * 10 + h, "building", "yes", None,
+                {"housenumber": str(h + 1),
+                 "place": f"Dorf {city_name(v + 8)}"},
+                None, point_wkb(vx + 0.005 + h * 0.003, vy + 0.004))
 
     for i in range(n_cities):
         cx, cy = city_center(i)

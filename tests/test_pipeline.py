@@ -159,3 +159,14 @@ def test_extraction_byte_identity(spark):
     a = sorted(map(tuple, extract_pages(pages).collect()))
     b = sorted(map(tuple, extract_pages(pages.repartition(7)).collect()))
     assert a == b  # partition-order independent, deterministic per url
+
+
+def test_addr_place_parenting(spark, index):
+    # houses tagged addr:place parent to the named village node
+    # (find_parent_for_poi place lane, partition-functions.sql:181-207)
+    idx, _ = index
+    house = idx.placex.filter("osm_id = 4000").head()
+    assert house is not None
+    assert house.parent_place_id == 2000 * 4 + 0  # village node place_id
+    house2 = idx.placex.filter("osm_id = 4021").head()
+    assert house2.parent_place_id == 2002 * 4 + 0
