@@ -174,7 +174,7 @@ def geocode(
     sn = idx.search_name.select(
         "place_id", "osm_type", "osm_id", "class", "type", "rank_search",
         "rank_address", "importance", "lon", "lat", "housenumber",
-        F.col("parent_place_id"),
+        "norm_name", F.col("parent_place_id"),
     )
     # materialize the candidate set once: the house / interpolation /
     # fallback branches below all reuse it, and Spark does not reuse
@@ -215,6 +215,7 @@ def geocode(
         F.col("h_lat").alias("lat"),
         F.col("hnr").alias("housenumber"),
         F.lit(0).alias("penalty"),
+        F.lit(0.0).alias("text_dist"),
     )
 
     interp_hits = None
@@ -246,17 +247,40 @@ def geocode(
                 F.col("mid_lat").alias("lat"),
                 F.col("hnr").alias("housenumber"),
                 F.lit(1).alias("penalty"),
+                F.lit(0.0).alias("text_dist"),
             )
         )
 
-    # queries WITHOUT housenumber: plain candidates, penalty 0
+    # queries WITHOUT housenumber: plain candidates with a fuzzy text-
+    # distance rerank term playing the role of the reference's difflib
+    # opcode distance (geocoder.py:213-259): among candidates that all
+    # AND-match the query tokens, the one whose full name is closest to
+    # the query wins before importance is consulted.  Normalized
+    # levenshtein is used instead of difflib's ratio because it runs
+    # JVM-side (built-in, codegen) — a difflib pandas UDF measured +11s on
+    # the 100k-page flagship; both are edit-distance rerankers and the
+    # candidates already share every query token.
+    text_dist = F.round(
+        F.levenshtein("name_norm", "norm_name")
+        / F.greatest(F.length("name_norm"), F.length("norm_name"), F.lit(1)),
+        6,
+    )
     plain = (
         cand.join(qh.select("query_id"), "query_id", "left_anti")
+        .join(q.select("query_id", "name_norm"), "query_id")
+        .withColumn(
+            "text_dist",
+            F.when(
+                F.col("name_norm").isNull() | F.col("norm_name").isNull(),
+                F.lit(1.0),
+            ).otherwise(text_dist),
+        )
         .select(
             "query_id", "place_id", "osm_type", "osm_id", "class", "type",
             "rank_search", "rank_address", "importance", "lon", "lat",
             F.lit(None).cast("string").alias("housenumber"),
             F.lit(0).alias("penalty"),
+            "text_dist",
         )
     )
     # hnr queries where no house/interp matched: fall back to the street
@@ -265,6 +289,7 @@ def geocode(
         "rank_search", "rank_address", "importance", "lon", "lat",
         F.lit(None).cast("string").alias("housenumber"),
         F.lit(2).alias("penalty"),
+        F.lit(0.0).alias("text_dist"),
     )
 
     all_hits = plain.unionByName(house_hits).unionByName(street_fallback)
@@ -274,12 +299,13 @@ def geocode(
     # final ranking: lowest penalty, then importance desc, then stable id.
     # min_by over an orderable struct = one hash aggregation (with map-side
     # partial) instead of a sort + window — cheaper by a full sort and
-    # deterministic because (penalty, -importance, place_id) is unique.
+    # deterministic because (penalty, text_dist, -importance, place_id)
+    # ends in the unique place_id.
     val_cols = [c for c in all_hits.columns if c != "query_id"]
     best = all_hits.groupBy("query_id").agg(
         F.expr(
             "min_by(struct(" + ", ".join(val_cols) + "), "
-            "struct(penalty, -importance, place_id))"
+            "struct(penalty, text_dist, -importance, place_id))"
         ).alias("_best")
     )
     return best.select("query_id", "_best.*")
