@@ -280,21 +280,54 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- stage D
 
-def assign_parents(placex: DataFrame) -> DataFrame:
+def assign_parents(placex: DataFrame,
+                   assoc_members: pd.DataFrame | None = None) -> DataFrame:
     """parent_place_id (placex_triggers.sql find_parent_for_poi :191-268 +
     addressable-area parenting).
 
+    * lane 0: associatedStreet relation members — a house member parents to
+      the relation's street member (placex_triggers.sql:119-182); takes
+      precedence over the tag lanes
     * areas & nodes rank<=25: deepest containing area with smaller
       rank_address
     * streets (26-27): deepest containing area rank_address 1..25
     * POIs/houses (28-30) with addr:street: nearest street whose normalized
       name matches, searched via street-cover-cell equi-join (the reference's
-      0.015-degree box, partition-functions.sql:150-178)
+      0.015-degree box, partition-functions.sql:150-178); addr:place variant
+      against named places
     * remaining POIs: nearest road by point-to-segment distance
+
+    ``assoc_members``: (relation_id, member_type, member_id, role) rows.
     """
     from nominatim_spark.functions.text import norm_translit
 
     spark = placex.sparkSession
+
+    # --- lane 0: associatedStreet relations (J10).  The membership table
+    # is relation-shaped metadata (tiny vs. the POI side): resolve
+    # house-member -> street-member driver-side, broadcast the mapping.
+    type_num = {"N": 0, "W": 1, "R": 2}
+    assoc_rows = []
+    if assoc_members is not None and len(assoc_members):
+        streets_by_rel = {
+            r.relation_id: r.member_id * 4 + type_num[r.member_type]
+            for r in assoc_members.itertuples() if r.role == "street"
+        }
+        for r in assoc_members.itertuples():
+            if r.role != "street" and r.relation_id in streets_by_rel:
+                assoc_rows.append(
+                    (r.member_id * 4 + type_num[r.member_type],
+                     streets_by_rel[r.relation_id])
+                )
+    if assoc_rows:
+        assoc_parent = spark.createDataFrame(
+            pd.DataFrame(assoc_rows, columns=["place_id", "parent_place_id"])
+        ).join(placex.select("place_id"), "place_id", "left_semi")
+    else:
+        assoc_parent = spark.createDataFrame(
+            pd.DataFrame(columns=["place_id", "parent_place_id"]),
+            "place_id long, parent_place_id long",
+        )
 
     areas_pdf = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
@@ -434,8 +467,10 @@ def assign_parents(placex: DataFrame) -> DataFrame:
 
     # POIs without street/place tag — or whose matches found nothing —
     # fall back to the containing area (find_parent_for_poi last resort)
-    matched_so_far = poi_parent.select("place_id").unionByName(
-        place_parent.select("place_id")
+    matched_so_far = (
+        poi_parent.select("place_id")
+        .unionByName(place_parent.select("place_id"))
+        .unionByName(assoc_parent.select("place_id"))
     )
     poi_rest = (
         placex.filter(F.col("rank_search") >= 28)
@@ -455,8 +490,16 @@ def assign_parents(placex: DataFrame) -> DataFrame:
         .select("place_id", F.col("a_id").alias("parent_place_id"))
     )
 
+    # lane-0 wins: drop tag-lane matches for relation-parented places
+    poi_parent = poi_parent.join(
+        assoc_parent.select("place_id"), "place_id", "left_anti"
+    )
+    low_parent = low_parent.join(
+        assoc_parent.select("place_id"), "place_id", "left_anti"
+    )
     parents = (
-        low_parent.unionByName(poi_parent)
+        assoc_parent.unionByName(low_parent)
+        .unionByName(poi_parent)
         .unionByName(place_parent)
         .unionByName(rest_parent)
     )
@@ -477,7 +520,8 @@ class IndexTables:
 
 
 def build_placex(place: DataFrame, ckpt_root: str | None = None,
-                 resume: bool = False) -> DataFrame:
+                 resume: bool = False,
+                 assoc_members: pd.DataFrame | None = None) -> DataFrame:
     """place -> fully ranked & parented placex, checkpointed per stage.
 
     Each stage materializes to parquet with a lineage manifest
@@ -508,7 +552,9 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
         ["placex_base"],
     )
     df3 = stage("placex_adjusted", lambda: adjust_ranks(df2), ["placex_ranked"])
-    df4 = stage("placex_parented", lambda: assign_parents(df3).withColumn(
+    df4 = stage("placex_parented", lambda: assign_parents(
+        df3, assoc_members=assoc_members
+    ).withColumn(
         # default importance (importance.sql:146-206 fallback formula)
         "importance", F.lit(0.40001) - F.col("rank_search") / F.lit(75.0)
     ), ["placex_adjusted"])
@@ -526,7 +572,8 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
 
 
 def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
-                resume: bool = False) -> IndexTables:
+                resume: bool = False,
+                assoc_members: pd.DataFrame | None = None) -> IndexTables:
     import tempfile
 
     from nominatim_spark.io.checkpoint import checkpoint
@@ -534,7 +581,8 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
 
     if ckpt_root is None:
         ckpt_root = tempfile.mkdtemp(prefix="nominatim_spark_ckpt_")
-    placex = build_placex(place, ckpt_root, resume=resume)
+    placex = build_placex(place, ckpt_root, resume=resume,
+                          assoc_members=assoc_members)
     idx = build_search_tables(spark, placex)
     word = checkpoint(idx.word, ckpt_root, "word", inputs=["placex"])
     name_post = checkpoint(idx.name_postings, ckpt_root, "name_postings",

@@ -35,7 +35,15 @@ def build_synth_index(
         spark, n_cities=n_cities, n_streets=n_streets,
         n_houses=n_houses, n_pois=n_pois,
     )
-    idx = build_index(spark, place, ckpt_root=ckpt_root, resume=resume)
+    members, assoc_houses = synth.make_associated_streets(
+        n_cities=n_cities, n_streets=n_streets
+    )
+    if len(assoc_houses):
+        place = place.unionByName(
+            spark.createDataFrame(assoc_houses, schema=synth.PLACE_SCHEMA)
+        )
+    idx = build_index(spark, place, ckpt_root=ckpt_root, resume=resume,
+                      assoc_members=members)
     ways, nodes = synth.make_interpolations(n_cities=n_cities)
     osmline = build_osmline(spark, ways, nodes, idx.placex)
     return idx, osmline

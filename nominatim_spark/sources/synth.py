@@ -165,6 +165,43 @@ def make_places(n_cities: int = 8, n_streets: int = 12, n_houses: int = 10,
     return pd.DataFrame(rows)
 
 
+def make_associated_streets(n_cities: int = 8, n_streets: int = 12
+                            ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """associatedStreet relations (reference: init.lua place_associated_street
+    input + placex_triggers.sql:119-182 parenting).
+
+    One relation per city: street member = street j=1, house members = three
+    new house nodes carrying only a housenumber (no addr:street — they are
+    parentable ONLY through the relation).  Returns (members_pdf, houses_pdf)
+    where houses must be appended to the place table.
+    """
+    members, houses = [], []
+    for i in range(n_cities):
+        if n_streets < 2:
+            continue
+        rel_id = 8000 + i
+        street_osm = 10000 + i * 100 + 1
+        members.append({"relation_id": rel_id, "member_type": "W",
+                        "member_id": street_osm, "role": "street"})
+        cx, cy = city_center(i)
+        y = cy - 0.1 + 1 * (0.2 / max(n_streets, 1))
+        for k in range(3):
+            hid = 7000000 + i * 10 + k
+            members.append({"relation_id": rel_id, "member_type": "N",
+                            "member_id": hid, "role": "house"})
+            # field order MUST match PLACE_SCHEMA (pandas -> spark maps
+            # positionally for DDL schemas)
+            houses.append({
+                "osm_type": "N", "osm_id": hid, "class": "building",
+                "type": "yes", "admin_level": None, "name": {},
+                "address": {"housenumber": str(100 + 2 * k)},
+                "extratags": {},
+                "geometry": point_wkb(cx - 0.05 + k * 0.02, y - 0.0008),
+                "categories": None,
+            })
+    return pd.DataFrame(members), pd.DataFrame(houses)
+
+
 def make_interpolations(n_cities: int = 8) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Interpolation ways + companion housenumber nodes (FIXTURES.md §3).
 

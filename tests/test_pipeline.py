@@ -170,3 +170,20 @@ def test_addr_place_parenting(spark, index):
     assert house.parent_place_id == 2000 * 4 + 0  # village node place_id
     house2 = idx.placex.filter("osm_id = 4021").head()
     assert house2.parent_place_id == 2002 * 4 + 0
+
+
+def test_associated_street_parenting(spark, index):
+    # relation house members parent to the relation's street member
+    # (lane 0, placex_triggers.sql:119-182) — these houses carry no
+    # addr:street at all
+    idx, osmline = index
+    h = idx.placex.filter("osm_id = 7000000").head()
+    assert h is not None
+    assert h.parent_place_id == (10000 + 0 * 100 + 1) * 4 + 1  # street j=1, city 0
+    # and they are searchable via the street + housenumber lane
+    q = spark.createDataFrame(
+        [("q1", f"{synth.street_name(0, 1)} 102, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx, q, osmline=osmline).collect()
+    assert len(res) == 1 and res[0].osm_id == 7000001  # hnr 102 = house k=1
