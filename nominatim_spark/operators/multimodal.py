@@ -1,0 +1,174 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A training-data pipeline at 100 TB treats media as ``binary`` columns with
+typed metadata structs, processed by Arrow-batched UDFs.  The Spark-side
+plumbing here is real and tested — schemas, mapInPandas batch shape,
+partition sizing, deterministic fake features — while the codec calls are
+stubbed (this container has no image/audio libraries): each decode function
+routes through :func:`_decode_image` / :func:`_decode_audio`, which raise
+``NotImplementedError`` unless ``fake=True`` supplies the deterministic
+stand-in (a hash-derived byte grid), so swapping in PIL/soundfile later
+changes exactly one function per modality.
+
+Operators:
+* :func:`with_media_meta`       — sniff container type + size from magic
+                                  bytes (pure binary inspection, no codec)
+* :func:`image_features`        — decode -> resize -> feature vector
+                                  (mapInPandas; stubbed decode)
+* :func:`audio_frame_sample`    — decode -> fixed-rate frame sampling
+                                  (stubbed decode)
+
+Scale notes: media rows are huge — callers should repartition by
+``spark.sql.files.maxPartitionBytes``-sized inputs and keep
+``arrow.maxRecordsPerBatch`` low for these stages; features are tiny and
+re-shufflable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),  # refined below via the WAVE marker
+    (b"ID3", "audio/mp3"),
+    (b"\x00\x00\x00", "video/mp4"),  # ftyp at offset 4
+]
+
+
+def sniff_media_type(data: bytes) -> str:
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
+    for magic, mtype in _MAGIC:
+        if data.startswith(magic):
+            return mtype
+    return "application/octet-stream"
+
+
+META_SCHEMA = "media_type string, n_bytes long, content_sha1 string"
+
+
+def with_media_meta(df: DataFrame, col: str = "media") -> DataFrame:
+    """Attach (media_type, n_bytes, content_sha1) from the raw bytes."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", " + META_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [bytes(b) if b is not None else b"" for b in pdf[col]]
+            yield pdf.assign(
+                media_type=[sniff_media_type(b) for b in raw],
+                n_bytes=[len(b) for b in raw],
+                content_sha1=[hashlib.sha1(b).hexdigest() for b in raw],
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _decode_image(data: bytes, *, fake: bool) -> np.ndarray:
+    """STUB: returns an HxWx3 uint8 array.  Real implementation: PIL/cv2
+    (not in this container).  ``fake=True`` produces a deterministic 8x8x3
+    grid derived from the content hash — byte-identical per input."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "or plug PIL into _decode_image"
+        )
+    h = hashlib.sha256(data).digest()
+    grid = np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return grid.reshape(8, 8, 3).copy()
+
+
+def _decode_audio(data: bytes, *, fake: bool) -> np.ndarray:
+    """STUB: returns a float32 mono waveform.  Real implementation:
+    soundfile/librosa.  fake: 256 deterministic samples from the hash."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable in this environment; pass fake=True "
+            "or plug soundfile into _decode_audio"
+        )
+    h = hashlib.sha256(data).digest()
+    raw = np.frombuffer((h * 8)[:256], dtype=np.uint8)
+    return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+IMAGE_FEAT_SCHEMA = "key string, feat array<float>, height int, width int"
+
+
+def image_features(df: DataFrame, *, key: str = "url", col: str = "media",
+                   fake_decode: bool = True) -> DataFrame:
+    """decode -> 4x4 mean-pool 'resize' -> 48-dim feature vector.
+
+    The pooling/feature math is real numpy (what a CLIP-preprocessing stage
+    does structurally); only the codec is stubbed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, feats, hs, ws = [], [], [], []
+            for k, b in zip(pdf[key], pdf[col]):
+                img = _decode_image(bytes(b), fake=fake_decode)
+                h, w, _ = img.shape
+                # mean-pool to 4x4x3 ("resize"), flatten, scale to [0,1]
+                pooled = img.reshape(4, h // 4, 4, w // 4, 3).mean(axis=(1, 3))
+                feats.append((pooled.reshape(-1) / 255.0).astype(np.float32).tolist())
+                keys.append(k)
+                hs.append(h)
+                ws.append(w)
+            if not keys:  # empty batch: Arrow needs explicit dtypes
+                yield pd.DataFrame(
+                    {"key": pd.Series(dtype="object"),
+                     "feat": pd.Series(dtype="object"),
+                     "height": pd.Series(dtype="int32"),
+                     "width": pd.Series(dtype="int32")}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"key": keys, "feat": feats, "height": hs, "width": ws}
+                )
+
+    return df.mapInPandas(run, schema=IMAGE_FEAT_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = "key string, frame_idx int, frame array<float>"
+
+
+def audio_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
+                       frame_len: int = 64, hop: int = 64,
+                       fake_decode: bool = True) -> DataFrame:
+    """decode -> fixed-rate frame sampling (one output row per frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"key": [], "frame_idx": [], "frame": []}
+            for k, b in zip(pdf[key], pdf[col]):
+                wave = _decode_audio(bytes(b), fake=fake_decode)
+                n = (len(wave) - frame_len) // hop + 1
+                for i in range(max(n, 0)):
+                    out["key"].append(k)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        wave[i * hop: i * hop + frame_len].tolist()
+                    )
+            if not out["key"]:
+                # an all-empty batch needs explicit dtypes — Arrow can't
+                # infer list<float> from an empty object column
+                yield pd.DataFrame(
+                    {"key": pd.Series(dtype="object"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "frame": pd.Series(dtype="object")}
+                )
+            else:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: real Spark-side schema/batching, stubbed codecs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nominatim_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("u1", b"\x89PNG\r\n" + b"x" * 100),
+        ("u2", b"\xff\xd8\xff\xe0" + b"y" * 50),
+        ("u3", b"RIFF" + b"\x00" * 4 + b"WAVE" + b"z" * 64),
+        ("u4", b"\x00\x00\x00\x18ftypmp42" + b"v" * 32),
+        ("u5", b"plain text bytes"),
+    ]
+    return spark.createDataFrame(rows, "url string, media binary")
+
+
+def test_media_type_sniffing(spark, media):
+    out = {r.url: (r.media_type, r.n_bytes) for r in mm.with_media_meta(media).collect()}
+    assert out["u1"][0] == "image/png"
+    assert out["u2"][0] == "image/jpeg"
+    assert out["u3"][0] == "audio/wav"
+    assert out["u4"][0] == "video/mp4"
+    assert out["u5"][0] == "application/octet-stream"
+    assert out["u1"][1] == 106
+
+
+def test_image_features_deterministic(spark, media):
+    imgs = media.filter("url in ('u1','u2')")
+    a = {r.key: r.feat for r in mm.image_features(imgs).collect()}
+    b = {r.key: r.feat for r in mm.image_features(imgs.repartition(3)).collect()}
+    assert a == b                       # deterministic across partitionings
+    assert len(a["u1"]) == 48           # 4x4x3 feature
+    assert a["u1"] != a["u2"]           # content-sensitive
+    assert all(0.0 <= v <= 1.0 for v in a["u1"])
+
+
+def test_audio_frame_sampling(spark, media):
+    frames = mm.audio_frame_sample(media.filter("url = 'u3'")).collect()
+    assert len(frames) == 4             # 256 samples / 64 hop
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert all(len(f.frame) == 64 for f in frames)
+
+
+def test_real_decode_is_explicit_stub(spark, media):
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        mm.image_features(media.limit(1), fake_decode=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs unavailable" in str(ei.value)
