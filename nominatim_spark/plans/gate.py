@@ -875,14 +875,22 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-agg of candidate ids (A2 — ArrayAgg(place_id),
     address_search.py:51-52): per customer, sorted order ids."""
     orders = load(spark, sf_dir, "orders")
+    # emit the sorted id list as a comma-joined string: the driver's
+    # canonicalizer sorts result frames through pandas, which cannot hash
+    # array cells (round-1 gate failure) — the aggregate itself (A2) is
+    # unchanged, only the wire format is scalar.
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey")))
+        .alias("order_ids"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 Q_COLLECT_SQL = """
-SELECT o_custkey, list_sort(list(o_orderkey)) AS order_ids, COUNT(*) AS n_orders
+SELECT o_custkey,
+       list_aggregate(list_sort(list(o_orderkey)), 'string_agg', ',')
+           AS order_ids,
+       COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """
 

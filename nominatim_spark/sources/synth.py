@@ -49,6 +49,17 @@ _FILLER = [
 ]
 
 
+def _int_or_none(col: pd.Series) -> pd.Series:
+    """Object-dtype python-int-or-None column.
+
+    pandas coerces an int/None mix to float64; Spark's non-Arrow
+    createDataFrame row verifier then rejects ``2.0`` for ``IntegerType``
+    (the Arrow path casts silently, masking the bug locally).  Keep the
+    column object-dtype so both code paths accept it."""
+    return pd.Series([None if pd.isna(v) else int(v) for v in col],
+                     dtype=object, index=col.index)
+
+
 def city_center(i: int) -> tuple[float, float]:
     return 9.25 + (i % 4) * 0.45, 47.25 + (i // 4) * 0.35
 
@@ -162,7 +173,9 @@ def make_places(n_cities: int = 8, n_streets: int = 12, n_houses: int = 10,
                 poi_name(i, p), {"street": street_name(i, j)},
                 None, point_wkb(px, py))
 
-    return pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = _int_or_none(pdf["admin_level"])
+    return pdf
 
 
 def make_associated_streets(n_cities: int = 8, n_streets: int = 12
@@ -199,7 +212,10 @@ def make_associated_streets(n_cities: int = 8, n_streets: int = 12
                 "geometry": point_wkb(cx - 0.05 + k * 0.02, y - 0.0008),
                 "categories": None,
             })
-    return pd.DataFrame(members), pd.DataFrame(houses)
+    houses_pdf = pd.DataFrame(houses)
+    if len(houses_pdf):
+        houses_pdf["admin_level"] = _int_or_none(houses_pdf["admin_level"])
+    return pd.DataFrame(members), houses_pdf
 
 
 def make_interpolations(n_cities: int = 8) -> tuple[pd.DataFrame, pd.DataFrame]:
