@@ -178,6 +178,18 @@ def cover_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float,
     return _pack(res, gx.ravel(), gy.ravel())
 
 
+def cover_count(min_lon: float, min_lat: float, max_lon: float,
+                max_lat: float, res: int) -> int:
+    """Number of cells :func:`cover_bbox` would produce (cheap pre-check
+    used by the distributed cover generator to pick a per-polygon tier)."""
+    scale = float(1 << res)
+    ix0 = max(int(np.floor((min_lon + 180.0) * scale)), 0)
+    iy0 = max(int(np.floor((min_lat + 90.0) * scale)), 0)
+    ix1 = min(int(np.floor((max_lon + 180.0) * scale)), nx(res) - 1)
+    iy1 = min(int(np.floor((max_lat + 90.0) * scale)), ny(res) - 1)
+    return max(ix1 - ix0 + 1, 0) * max(iy1 - iy0 + 1, 0)
+
+
 def res_for_extent(extent_deg: float, max_cells_per_axis: int = 16) -> int:
     """Pick the finest resolution where the extent spans <= N cells/axis.
 
@@ -199,8 +211,14 @@ def encode_sql(lon_col: str, lat_col: str, res: int) -> str:
     so both engines produce identical int64 ids.
     """
     scale = 1 << res
+    # LEAST/GREATEST mirror np.clip in encode() so points exactly at
+    # lon=180 / lat=90 land in the last cell on every code path
+    iy = (f"LEAST(GREATEST(CAST(FLOOR(({lat_col} + 90.0) * {scale}) AS BIGINT),"
+          f" CAST(0 AS BIGINT)), CAST({ny(res) - 1} AS BIGINT))")
+    ix = (f"LEAST(GREATEST(CAST(FLOOR(({lon_col} + 180.0) * {scale}) AS BIGINT),"
+          f" CAST(0 AS BIGINT)), CAST({nx(res) - 1} AS BIGINT))")
     return (
         f"(CAST({res} AS BIGINT) * CAST({_RES_SHIFT} AS BIGINT)"
-        f" + CAST(FLOOR(({lat_col} + 90.0) * {scale}) AS BIGINT) * CAST({_IY_SHIFT} AS BIGINT)"
-        f" + CAST(FLOOR(({lon_col} + 180.0) * {scale}) AS BIGINT))"
+        f" + {iy} * CAST({_IY_SHIFT} AS BIGINT)"
+        f" + {ix})"
     )

@@ -78,6 +78,60 @@ def simhash_pairs(df: DataFrame, col: str = "text", key: str = "doc_id",
     ).select("doc_a", "doc_b", "hamming")
 
 
+def simhash_pairs_banded(df: DataFrame, col: str = "text",
+                         key: str = "doc_id", max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs via banded bucket join — the scale path.
+
+    Pigeonhole guarantee: the signature splits into ``max_hamming + 1``
+    bit-bands, so any pair within the distance agrees exactly on at least
+    one band.  Candidates = per-band equi-join on the band value (never an
+    all-pairs product); survivors get the exact hamming verify.  Output is
+    provably identical to :func:`simhash_pairs`.
+
+    At 16 signature bits the bands are only 4-5 bits wide, so buckets are
+    coarse; production scale raises SIMHASH_BITS (the band join cost falls
+    ~2^band_width per doubling) — the pigeonhole argument is unchanged.
+    """
+    sigs = simhash(df, col, key)
+    nb = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, nb)
+    widths = [base + (1 if i < rem else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+        )
+        for i, (off, w) in enumerate(zip(offsets, widths))
+    ])
+    bands = (
+        sigs.select(key, "simhash", F.explode(band_structs).alias("b"))
+        .select(key, "simhash", F.col("b.band_idx").alias("band_idx"),
+                F.col("b.band_val").alias("band_val"))
+    )
+    a = bands.select(
+        F.col(key).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col(key).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, col: str = "text", key: str = "doc_id",
     n: int = 3, threshold: float = 0.4,
@@ -158,6 +212,80 @@ def embedding_neardup_pairs(
         pairs.withColumn(
             "cos_r", F.round(dot / (norm("emb_a") * norm("emb_b")), 6)
         )
+        .filter(F.col("cos_r") >= threshold)
+        .select("doc_a", "doc_b", "cos_r")
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame, key: str = "vec_id", col: str = "embedding",
+    threshold: float = 0.9, n_planes: int = 16, n_bands: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH — the scale path.
+
+    Band j packs the signs of ``n_planes/n_bands`` deterministic
+    random-hyperplane projections (±1 weights from md5, no RNG); candidate
+    pairs share at least one full band value (per-band equi-join, never an
+    all-pairs product); survivors get the exact cosine verify that
+    :func:`embedding_neardup_pairs` computes, with identical rounding.
+
+    Recall: a pair at angle θ is missed with probability
+    ``(1 - (1-θ/π)^r)^b`` — size (r, b) to the threshold.  Exact-direction
+    duplicates (cos == 1, e.g. rescaled copies) are *guaranteed* caught:
+    scaling preserves every projection sign, so their band values are
+    identical.
+    """
+    r = n_planes // n_bands
+    proj = F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"aggregate(zip_with({col}, sequence(0, size({col}) - 1), "
+        "(x, d) -> CAST(x AS DOUBLE) * "
+        "(CAST(conv(substring(md5(concat(p, ':', d)), 1, 1), 16, 10) AS INT) % 2 * 2 - 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.expr(
+                f"aggregate(zip_with(slice(proj, {j * r + 1}, {r}), "
+                f"sequence(0, {r - 1}), "
+                "(v, p) -> CASE WHEN v > 0 THEN CAST(pow(2, p) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("band_val"),
+        )
+        for j in range(n_bands)
+    ])
+    bands = (
+        emb.withColumn("proj", proj)
+        .select(key, F.explode(band_structs).alias("b"))
+        .select(key, F.col("b.band_idx").alias("band_idx"),
+                F.col("b.band_val").alias("band_val"))
+    )
+    a = bands.select(F.col(key).alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col(key).alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ea = emb.select(F.col(key).alias("doc_a"), F.col(col).alias("emb_a"))
+    eb = emb.select(F.col(key).alias("doc_b"), F.col(col).alias("emb_b"))
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def norm(c):
+        return F.expr(
+            f"sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+
+    return (
+        cand.join(ea, "doc_a").join(eb, "doc_b")
+        .withColumn("cos_r", F.round(dot / (norm("emb_a") * norm("emb_b")), 6))
         .filter(F.col("cos_r") >= threshold)
         .select("doc_a", "doc_b", "cos_r")
     )

@@ -119,8 +119,17 @@ def image_features(df: DataFrame, *, key: str = "url", col: str = "media",
             for k, b in zip(pdf[key], pdf[col]):
                 img = _decode_image(bytes(b), fake=fake_decode)
                 h, w, _ = img.shape
+                # crop to multiples of 4 so the pooling reshape holds for
+                # arbitrary decoded sizes (real codecs rarely emit 4k x 4k)
+                ch, cw = max(h - h % 4, 4), max(w - w % 4, 4)
+                img4 = img[:ch, :cw]
+                if img4.shape[0] < 4 or img4.shape[1] < 4:  # tiny image: pad
+                    img4 = np.pad(img4, ((0, 4 - img4.shape[0]),
+                                         (0, 4 - img4.shape[1]), (0, 0)),
+                                  mode="edge")
+                    ch, cw = 4, 4
                 # mean-pool to 4x4x3 ("resize"), flatten, scale to [0,1]
-                pooled = img.reshape(4, h // 4, 4, w // 4, 3).mean(axis=(1, 3))
+                pooled = img4.reshape(4, ch // 4, 4, cw // 4, 3).mean(axis=(1, 3))
                 feats.append((pooled.reshape(-1) / 255.0).astype(np.float32).tolist())
                 keys.append(k)
                 hs.append(h)

@@ -115,6 +115,236 @@ def point_in_polygon_join(
     return cand.mapInPandas(recheck, schema=out_schema)
 
 
+def polygon_cover(geom, res: int, pad: float = 0.0,
+                  limit_hint: int = 1 << 22) -> tuple[np.ndarray, np.ndarray]:
+    """Cells at ``res`` intersecting ``geom``, classified interior/boundary.
+
+    Returns ``(cells, full)``: ``full[i]`` is True when the cell lies
+    entirely inside the polygon — candidates landing there need NO exact
+    point-in-polygon recheck, so the polygon geometry never ships to them.
+    This is the Spark-side analog of the reference's recursive quad-split
+    (lib-sql/functions/utils.sql:394-515): it bounds per-polygon fan-out
+    AND keeps the expensive exact predicate on boundary cells only.
+
+    Boundary cells are found by sampling every ring edge at half-cell
+    steps and dilating one cell in every direction (supercover-safe: a
+    cell crossed by an edge is always within one cell of a sample).
+    Remaining bbox cells keep only those whose center is inside.
+
+    ``pad > 0`` (within-distance covers) or non-areal geometries fall back
+    to the padded bbox cover with every cell marked boundary.
+    """
+    x0, y0, x1, y1 = ops.bbox_of(geom)
+    if pad > 0.0 or geom.type_name not in ("Polygon", "MultiPolygon"):
+        cells = grid.cover_bbox(x0 - pad, y0 - pad, x1 + pad, y1 + pad,
+                                res, limit=limit_hint)
+        return cells, np.zeros(len(cells), dtype=bool)
+
+    scale = float(1 << res)
+    size = grid.cell_size_deg(res)
+    bbox_cells = grid.cover_bbox(x0, y0, x1, y1, res, limit=limit_hint)
+
+    # --- boundary cells: sample ring edges at half-cell steps + dilate
+    bxy = []
+    for exterior, holes in geom.polygons():
+        for ring in (exterior, *holes):
+            ax, ay = ring[:-1, 0], ring[:-1, 1]
+            bx, by = ring[1:, 0], ring[1:, 1]
+            span = np.maximum(np.abs(bx - ax), np.abs(by - ay))
+            nseg = np.maximum(np.ceil(span / (size / 2)).astype(np.int64), 1)
+            tot = nseg + 1
+            offs = np.concatenate(([0], np.cumsum(tot)[:-1]))
+            within = np.arange(int(tot.sum())) - np.repeat(offs, tot)
+            t = within / np.repeat(nseg, tot)
+            sx = np.repeat(ax, tot) + t * np.repeat(bx - ax, tot)
+            sy = np.repeat(ay, tot) + t * np.repeat(by - ay, tot)
+            bxy.append((sx, sy))
+    sx = np.concatenate([p[0] for p in bxy])
+    sy = np.concatenate([p[1] for p in bxy])
+    ix = np.clip(np.floor((sx + 180.0) * scale).astype(np.int64), 0,
+                 grid.nx(res) - 1)
+    iy = np.clip(np.floor((sy + 90.0) * scale).astype(np.int64), 0,
+                 grid.ny(res) - 1)
+    pairs = np.unique(ix * np.int64(1 << 28) + iy)
+    # 8-neighborhood dilation
+    dil = (pairs[:, None]
+           + (np.array([-1, 0, 1], dtype=np.int64) * (1 << 28))[None, :])
+    dil = (dil[:, :, None]
+           + np.array([-1, 0, 1], dtype=np.int64)[None, None, :]).ravel()
+    boundary = np.unique(dil)
+
+    bres, bix, biy = grid.decode(bbox_cells)
+    bbox_keys = bix * np.int64(1 << 28) + biy
+    is_boundary = np.isin(bbox_keys, boundary)
+
+    inner = bbox_cells[~is_boundary]
+    if len(inner):
+        clon, clat = grid.cell_center(inner)
+        inside = ops.points_in_polygon(geom, clon, clat)
+        inner = inner[inside]
+    cells = np.concatenate([bbox_cells[is_boundary], inner])
+    full = np.concatenate(
+        [np.zeros(int(is_boundary.sum()), dtype=bool),
+         np.ones(len(inner), dtype=bool)]
+    )
+    return cells, full
+
+
+def explode_bbox_cells(df: DataFrame, *, res: int, pad: float = 0.0,
+                       minx: str = "minx", miny: str = "miny",
+                       maxx: str = "maxx", maxy: str = "maxy",
+                       out: str = "cell") -> DataFrame:
+    """Explode each row into the cells of its padded bbox at ``res``.
+
+    Pure JVM arithmetic (sequence + explode) — the distributed replacement
+    for the round-1 driver-side ``cover_bbox`` loops over street/place
+    bboxes.  Rows multiply by their cover size; callers pick ``res`` so the
+    pad dominates the extent (streets: the reference's 0.015-degree
+    token_matches_street box, partition-functions.sql:150-178)."""
+    scale = 1 << res
+    ix0 = (f"GREATEST(CAST(FLOOR(({minx} - {pad} + 180.0) * {scale}) AS"
+           f" BIGINT), CAST(0 AS BIGINT))")
+    ix1 = (f"LEAST(CAST(FLOOR(({maxx} + {pad} + 180.0) * {scale}) AS"
+           f" BIGINT), CAST({grid.nx(res) - 1} AS BIGINT))")
+    iy0 = (f"GREATEST(CAST(FLOOR(({miny} - {pad} + 90.0) * {scale}) AS"
+           f" BIGINT), CAST(0 AS BIGINT))")
+    iy1 = (f"LEAST(CAST(FLOOR(({maxy} + {pad} + 90.0) * {scale}) AS"
+           f" BIGINT), CAST({grid.ny(res) - 1} AS BIGINT))")
+    return (
+        df.withColumn("_ix", F.explode(F.expr(f"sequence({ix0}, {ix1})")))
+        .withColumn("_iy", F.explode(F.expr(f"sequence({iy0}, {iy1})")))
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST({res} AS BIGINT) * CAST(72057594037927936 AS BIGINT)"
+                f" + _iy * CAST(268435456 AS BIGINT) + _ix"
+            ),
+        )
+        .drop("_ix", "_iy")
+    )
+
+
+DEFAULT_TIERS = (0, 4, 8, 12)
+
+
+def cover_cells_dist(polys: DataFrame, *, poly_key: str,
+                     wkb_col: str = "geometry",
+                     res_tiers: tuple[int, ...] = DEFAULT_TIERS,
+                     limit: int = 1024) -> DataFrame:
+    """Distributed polygon cover: (poly_key, cell, _full) rows.
+
+    mapInPandas over the polygon side — nothing is collected to the
+    driver, so the polygon table can be arbitrarily large (the round-1
+    driver-collect-and-broadcast pattern died at ~1e8 streets).  Each
+    polygon picks the finest tier whose bbox cover stays under ``limit``
+    cells (coarser polygons -> coarser cells, the res_for_extent rule);
+    the cell id embeds its resolution, so a plain equi-join on ``cell``
+    against multi-tier point cells is exact.
+    """
+    tiers = tuple(sorted(res_tiers))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, cells, fulls = [], [], []
+            for key, g in zip(pdf[poly_key], pdf[wkb_col]):
+                geom = wkb.parse_wkb(bytes(g))
+                bb = ops.bbox_of(geom)
+                r = tiers[0]
+                for t in reversed(tiers):
+                    if grid.cover_count(*bb, t) <= limit:
+                        r = t
+                        break
+                cc, ff = polygon_cover(geom, r)
+                keys.append(np.full(len(cc), key, dtype=np.int64))
+                cells.append(cc)
+                fulls.append(ff)
+            if keys:
+                yield pd.DataFrame({
+                    poly_key: np.concatenate(keys),
+                    "cell": np.concatenate(cells),
+                    "_full": np.concatenate(fulls),
+                })
+            else:
+                yield pd.DataFrame({
+                    poly_key: pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "_full": pd.Series(dtype="bool"),
+                })
+
+    return polys.select(poly_key, wkb_col).mapInPandas(
+        gen, schema=f"{poly_key} long, cell long, _full boolean"
+    )
+
+
+def point_in_polygon_join_dist(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    poly_key: str,
+    wkb_col: str = "geometry",
+    lon: str = "lon",
+    lat: str = "lat",
+    carry: tuple[str, ...] = (),
+    res_tiers: tuple[int, ...] = DEFAULT_TIERS,
+    limit: int = 1024,
+) -> DataFrame:
+    """Fully distributed point-in-polygon join (J5 at planet scale).
+
+    Unlike :func:`point_in_polygon_join` (pandas polygon side, broadcast
+    dict — fine for the bounded country table only), BOTH sides are
+    DataFrames and nothing unbounded reaches the driver:
+
+      polygon side : mapInPandas -> multi-tier classified cover cells
+      point side   : one cell id per tier (JVM arithmetic) -> explode
+      join         : equi-join on cell (AQE broadcasts small covers)
+      full cells   : accepted with no recheck (geometry never ships)
+      boundary     : join geometry by key, exact vectorized PiP recheck
+
+    Returns ``points`` columns + ``poly_key`` + ``carry`` (extra polygon
+    attribute columns riding the key join — saves callers a second join).
+    """
+    cover = cover_cells_dist(polys, poly_key=poly_key, wkb_col=wkb_col,
+                             res_tiers=res_tiers, limit=limit)
+    tiers = tuple(sorted(res_tiers))
+    pts = points.withColumn(
+        "cell",
+        F.explode(F.array(*[F.expr(grid.encode_sql(lon, lat, r))
+                            for r in tiers])),
+    )
+    cand = pts.join(cover, "cell").drop("cell")
+
+    full_hits = cand.filter(F.col("_full")).drop("_full")
+    partial = cand.filter(~F.col("_full")).drop("_full")
+
+    geo = polys.select(poly_key, F.col(wkb_col).alias("_wkb"))
+    withg = partial.join(geo, poly_key)
+    out_cols = [f.name for f in withg.schema if f.name != "_wkb"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in withg.schema if f.name != "_wkb"
+    )
+
+    def recheck(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf[out_cols]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            for key, idx in pdf.groupby(poly_key).indices.items():
+                g = wkb.parse_wkb(bytes(pdf["_wkb"].iloc[idx[0]]))
+                keep[idx] = ops.points_in_polygon(g, px[idx], py[idx])
+            yield pdf.loc[keep, out_cols]
+
+    checked = withg.mapInPandas(recheck, schema=out_schema)
+    hits = full_hits.select(*out_cols).unionByName(checked)
+    if carry:
+        attrs = polys.select(poly_key, *carry)
+        hits = hits.join(attrs, poly_key)
+    return hits
+
+
 def knn_join(
     points: DataFrame,
     candidates: DataFrame,

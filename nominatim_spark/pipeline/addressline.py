@@ -21,29 +21,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nominatim_spark.operators.spatial import point_in_polygon_join
+from nominatim_spark.operators.spatial import point_in_polygon_join_dist
 
 
 def build_place_addressline(spark, placex: DataFrame) -> DataFrame:
-    """placex -> place_addressline rows."""
-    areas_pdf = placex.filter(
+    """placex -> place_addressline rows (distributed PiP cover join — the
+    ancestor-area table scales with the planet, nothing reaches the
+    driver; rank/centroid attrs ride the join as carry columns)."""
+    areas = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
-    ).select("place_id", "rank_address", "lon", "lat", "geometry").toPandas()
-    areas_pdf["wkb"] = areas_pdf["geometry"].map(bytes)
-
-    hit = point_in_polygon_join(
-        placex.select("place_id", "lon", "lat"),
-        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "addr_id"}),
-        poly_key="addr_id",
-        wkb_col="wkb",
-    ).filter(F.col("addr_id") != F.col("place_id"))
-
-    attrs = spark.createDataFrame(
-        areas_pdf[["place_id", "rank_address", "lon", "lat"]].rename(
-            columns={"place_id": "addr_id", "rank_address": "addr_rank",
-                     "lon": "a_lon", "lat": "a_lat"})
+    ).select(
+        F.col("place_id").alias("addr_id"),
+        F.col("rank_address").alias("addr_rank"),
+        F.col("lon").alias("a_lon"),
+        F.col("lat").alias("a_lat"),
+        "geometry",
     )
-    joined = hit.join(F.broadcast(attrs), "addr_id").withColumn(
+    joined = point_in_polygon_join_dist(
+        placex.select("place_id", "lon", "lat"),
+        areas,
+        poly_key="addr_id",
+        carry=("addr_rank", "a_lon", "a_lat"),
+    ).filter(F.col("addr_id") != F.col("place_id")).withColumn(
         "distance",
         F.sqrt(
             (F.col("lon") - F.col("a_lon")) * (F.col("lon") - F.col("a_lon"))

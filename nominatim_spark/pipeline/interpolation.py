@@ -21,9 +21,6 @@ Parenting reuses the POI street-match cascade (addr:street name within the
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -100,42 +97,56 @@ def build_osmline(
         )
         .withColumn("mid_lat", (F.col("lat") + F.col("next_lat")) / 2)
         .withColumn(
-            "osmline_id", F.col("way_id") * 100 + F.col("pos")
+            # id namespace: (way_id << 20 | pos) * 4 + 3 — the +3 keeps
+            # osmline ids disjoint from placex ids (osm_id*4 + {0,1,2});
+            # the 20-bit shift survives ways with up to ~1M nodes
+            "osmline_id",
+            (F.col("way_id") * F.lit(1 << 20) + F.col("pos")) * 4 + 3,
         )
     )
 
-    # parent street by addr:street normalized-name match against placex
+    # parent street by addr:street normalized-name match against placex —
+    # the street side becomes (key, cell) cover rows JVM-side (the round-1
+    # driver-built name->bbox dict dies at a planet's ~1e8 streets), the
+    # segment midpoint joins on its cell, and the exact padded-bbox
+    # predicate rechecks join-side (token_matches_street semantics,
+    # partition-functions.sql:150-178)
+    from nominatim_spark.operators.spatial import explode_bbox_cells
+    from nominatim_spark.pipeline.placex import CELL_RES
+
+    @F.pandas_udf("string")
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: norm_translit(v) if isinstance(v, str) else "")
+
+    pad = max(0.015, 1.0 / (1 << CELL_RES))
     streets = placex.filter(F.col("rank_search").between(26, 27)).select(
-        "place_id", "name", "minx", "maxx", "miny", "maxy"
-    ).toPandas()
-    name_to_streets: dict[str, list] = {}
-    for r in streets.itertuples():
-        nm = (r.name or {}).get("name")
-        if nm:
-            name_to_streets.setdefault(norm_translit(nm), []).append(
-                (r.place_id, r.minx - 0.015, r.miny - 0.015,
-                 r.maxx + 0.015, r.maxy + 0.015)
-            )
-    bc = spark.sparkContext.broadcast(name_to_streets)
+        F.col("place_id").alias("street_pid"),
+        norm_udf(F.col("name").getItem("name")).alias("street_key"),
+        "minx", "miny", "maxx", "maxy",
+    ).filter(F.col("street_key").isNotNull() & (F.col("street_key") != ""))
+    street_cells = explode_bbox_cells(streets, res=CELL_RES, pad=pad)
 
-    seg_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in segs.schema
-    ) + ", parent_place_id bigint"
+    from nominatim_spark import grid
 
-    def parent_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            parents = []
-            for addr, x, y in zip(pdf["address"], pdf["mid_lon"], pdf["mid_lat"]):
-                key = norm_translit((addr or {}).get("street", "") or "")
-                pid = None
-                for sid, x0, y0, x1, y1 in bc.value.get(key, ()):
-                    if x0 <= x <= x1 and y0 <= y <= y1:
-                        pid = sid
-                        break
-                parents.append(pid)
-            yield pdf.assign(parent_place_id=pd.array(parents, dtype="Int64"))
-
-    out = segs.mapInPandas(parent_batch, schema=seg_schema)
+    seg_keyed = segs.withColumn(
+        "street_key", norm_udf(F.col("address").getItem("street"))
+    ).withColumn(
+        "cell", F.expr(grid.encode_sql("mid_lon", "mid_lat", CELL_RES))
+    )
+    matched = (
+        seg_keyed.select("osmline_id", "street_key", "cell",
+                         "mid_lon", "mid_lat")
+        .join(street_cells, ["cell", "street_key"])
+        .filter(
+            (F.col("mid_lon") >= F.col("minx") - pad)
+            & (F.col("mid_lon") <= F.col("maxx") + pad)
+            & (F.col("mid_lat") >= F.col("miny") - pad)
+            & (F.col("mid_lat") <= F.col("maxy") + pad)
+        )
+        .groupBy("osmline_id")
+        .agg(F.min("street_pid").alias("parent_place_id"))
+    )
+    out = segs.join(matched, "osmline_id", "left")
     return out.select(
         "osmline_id", "way_id", "parent_place_id", "startnumber",
         "endnumber", "step", "mid_lon", "mid_lat", "geometry",

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nominatim_spark.operators.spatial import point_in_polygon_join
+from nominatim_spark.operators.spatial import point_in_polygon_join_dist
 
 
 def link_places(spark, placex: DataFrame) -> DataFrame:
@@ -48,21 +48,19 @@ def link_places(spark, placex: DataFrame) -> DataFrame:
         & F.exists("categories", lambda c: c.startswith("osm.place"))
     )
 
-    bnd_pdf = boundaries.select(
-        "place_id", "geometry", "rank_address",
-        F.col("extratags").getItem("wikidata").alias("b_wikidata"),
-        F.col("name").getItem("name").alias("b_name"),
-    ).toPandas()
-    if bnd_pdf.empty:
-        return placex.withColumn("linked_place_id", F.lit(None).cast("long"))
-    bnd_pdf["wkb"] = bnd_pdf["geometry"].map(bytes)
-    bnd_pdf["b_norm"] = bnd_pdf["b_name"].map(
-        lambda v: norm_translit(v) if isinstance(v, str) else None
-    )
-
     @F.pandas_udf("string")
     def norm_udf(s):
         return s.map(lambda v: norm_translit(v) if isinstance(v, str) else None)
+
+    bnds = boundaries.select(
+        F.col("place_id").alias("b_id"),
+        F.col("extratags").getItem("wikidata").alias("b_wikidata"),
+        norm_udf(F.col("name").getItem("name")).alias("b_norm"),
+        F.col("rank_address").alias("b_addr"),
+        "geometry",
+    )
+    if bnds.isEmpty():
+        return placex.withColumn("linked_place_id", F.lit(None).cast("long"))
 
     cand_nodes = nodes.select(
         F.col("place_id").alias("node_id"), "lon", "lat", "rank_address",
@@ -71,17 +69,11 @@ def link_places(spark, placex: DataFrame) -> DataFrame:
         F.col("is_major").alias("n_major"),
         F.col("importance").alias("n_importance"),
     )
-    inside = point_in_polygon_join(
-        cand_nodes,
-        bnd_pdf[["place_id", "wkb"]].rename(columns={"place_id": "b_id"}),
-        poly_key="b_id",
-        wkb_col="wkb",
-    )
-    battrs = spark.createDataFrame(
-        bnd_pdf[["place_id", "b_wikidata", "b_norm", "rank_address"]].rename(
-            columns={"place_id": "b_id", "rank_address": "b_addr"})
-    )
-    scored = inside.join(F.broadcast(battrs), "b_id").withColumn(
+    # distributed PiP cover join — boundary attrs ride as carry columns
+    scored = point_in_polygon_join_dist(
+        cand_nodes, bnds, poly_key="b_id",
+        carry=("b_wikidata", "b_norm", "b_addr"),
+    ).withColumn(
         "lane",
         F.when(
             F.col("n_wikidata").isNotNull()

@@ -19,12 +19,15 @@ becomes a short sequence of set-at-a-time DataFrame stages:
                           nearest road (find_parent_for_poi cascade,
                           placex_triggers.sql:191-268)
 
-Scale notes: stage joins are all cell-key equi-joins with broadcast polygon
-sides (admin hierarchies are tiny vs. the POI side); the POI parenting join
-is the skew-sensitive one (city cells are hot) and inherits AQE skew
-handling plus the salted cover-join helper.  At planet scale the
-``areas_pdf`` broadcast (~1M polygons) would switch to the partitioned
-cover-join — the code paths are separated so only `_areas_broadcast` changes.
+Scale notes: every stage join is a distributed cell-key equi-join — polygon
+sides become classified cover cells via mapInPandas (interior cells skip the
+exact recheck entirely, so polygon geometry never ships to their
+candidates), street/place sides become JVM-generated bbox cover cells
+(sequence+explode, no Python), and AQE turns small covers into runtime
+broadcasts.  Nothing unbounded is ever collected to the driver; the one
+pandas-side exception is the country polygon table (bounded at ~250 rows).
+The POI parenting join is the skew-sensitive one (city cells are hot) and
+inherits AQE skew handling plus the salted cover-join helper.
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ from pyspark.sql import functions as F
 
 from nominatim_spark import grid
 from nominatim_spark.geometry import ops, wkb
-from nominatim_spark.operators.spatial import point_in_polygon_join
+from nominatim_spark.operators.spatial import (
+    explode_bbox_cells, point_in_polygon_join, point_in_polygon_join_dist)
 from nominatim_spark.pipeline.address_levels import DEFAULT_LEVELS
 from nominatim_spark.pipeline.rank import backfill_categories, compute_place_rank
 
@@ -154,9 +158,13 @@ def _place_cat_addr_rank():
 def adjust_ranks(placex: DataFrame) -> DataFrame:
     """Containment-based rank adjustments (placex_triggers.sql:881-978 +
     :1163-1177), iterated over admin levels low->high like the reference's
-    rank-ordered indexing loop."""
-    spark = placex.sparkSession
+    rank-ordered indexing loop.
 
+    Distribution: the level loop is driver-side (admin levels are bounded,
+    ~12 values — the only collect is the tiny distinct-level list), but the
+    finalized-boundary geometries stay executor-side as localCheckpointed
+    DataFrames — nothing geometry-sized ever reaches the driver, so the
+    loop survives a planet's ~400k admin polygons."""
     boundaries = placex.filter(
         F.array_contains("categories", "osm.boundary.administrative")
         & (F.col("osm_type") == "R")
@@ -169,49 +177,62 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
         for r in boundaries.select("admin_level").distinct().collect()
         if r.admin_level is not None
     )
-    finalized_pdf = pd.DataFrame(
-        columns=["place_id", "admin_level", "rank_address", "wkb"]
-    )
+    finalized: list[DataFrame] = []  # place_id, admin_level, rank_address, geometry
     adjusted = []
     for lvl in levels:
         cur = boundaries.filter(F.col("admin_level") == lvl)
-        parents = finalized_pdf[
-            (finalized_pdf.admin_level > 3)
-            & (finalized_pdf.rank_address.between(1, 25))
-        ]
-        if len(parents):
-            hit = point_in_polygon_join(
-                cur.select("place_id", "lon", "lat"),
-                parents[["place_id", "admin_level", "rank_address", "wkb"]]
-                .rename(columns={
-                    "place_id": "par_id", "admin_level": "par_adm",
-                    "rank_address": "par_addr"}),
-                poly_key="par_id",
-                wkb_col="wkb",
+        if finalized:
+            parents = finalized[0]
+            for f_ in finalized[1:]:
+                parents = parents.unionByName(f_)
+            parents = parents.filter(
+                (F.col("admin_level") > 3)
+                & F.col("rank_address").between(1, 25)
+            ).select(
+                F.col("place_id").alias("par_id"),
+                F.col("admin_level").alias("par_adm"),
+                F.col("rank_address").alias("par_addr"),
+                F.col("wikidata").alias("par_wikidata"),
+                "geometry",
             )
-            # join back polygon attrs, pick deepest parent
-            attrs = spark.createDataFrame(
-                parents[["place_id", "admin_level", "rank_address"]].rename(
-                    columns={"place_id": "par_id", "admin_level": "par_adm",
-                             "rank_address": "par_addr"})
+            hit = point_in_polygon_join_dist(
+                cur.select("place_id", "lon", "lat"),
+                parents,
+                poly_key="par_id",
+                carry=("par_adm", "par_addr", "par_wikidata"),
             )
             w = Window.partitionBy("place_id").orderBy(F.col("par_adm").desc())
             best_parent = (
-                hit.join(F.broadcast(attrs), "par_id")
-                .withColumn("_rn", F.row_number().over(w))
+                hit.withColumn("_rn", F.row_number().over(w))
                 .filter("_rn = 1")
-                .select("place_id", "par_addr")
+                .select("place_id", "par_addr", "par_wikidata")
             )
             cur = cur.join(best_parent, "place_id", "left")
         else:
-            cur = cur.withColumn("par_addr", F.lit(None).cast("int"))
+            cur = (
+                cur.withColumn("par_addr", F.lit(None).cast("int"))
+                .withColumn("par_wikidata", F.lit(None).cast("string"))
+            )
+        # duplicate-boundary demotion (placex_triggers.sql:899-903): a
+        # boundary replicating its containing parent's wikidata is the
+        # same object at another admin level — drop it from addresses
+        cur = cur.withColumn(
+            "rank_address",
+            F.when(
+                F.col("par_wikidata").isNotNull()
+                & (F.col("extratags").getItem("wikidata")
+                   == F.col("par_wikidata")),
+                F.lit(0),
+            ).otherwise(F.col("rank_address")),
+        ).drop("par_wikidata")
         # overtake rule (placex_triggers.sql:905-911)
         cur = cur.withColumn(
             "parent_address_level", F.coalesce(F.col("par_addr"), F.lit(3))
         ).withColumn(
             "rank_address",
             F.when(
-                F.col("par_addr").isNotNull()
+                (F.col("rank_address") > 0)  # demoted duplicates stay 0
+                & F.col("par_addr").isNotNull()
                 & (F.col("par_addr") >= F.col("rank_address")),
                 F.when(F.col("par_addr") >= 24, 25).otherwise(F.col("par_addr") + 2),
             ).otherwise(F.col("rank_address")),
@@ -232,12 +253,17 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
                 F.col("_place_addr"),
             ).otherwise(F.col("rank_address")),
         ).drop("_bnd_place_cat", "_place_addr")
+        # localCheckpoint truncates the per-level lineage (12 stacked
+        # union+PiP plans would make Catalyst planning superlinear) and
+        # keeps the finalized geometries executor-side
+        cur = cur.localCheckpoint()
         adjusted.append(cur)
-        done = cur.select("place_id", "admin_level", "rank_address", "geometry").toPandas()
-        done["wkb"] = done["geometry"].map(bytes)
-        finalized_pdf = pd.concat(
-            [finalized_pdf, done[["place_id", "admin_level", "rank_address", "wkb"]]],
-            ignore_index=True,
+        finalized.append(
+            cur.select(
+                "place_id", "admin_level", "rank_address",
+                F.col("extratags").getItem("wikidata").alias("wikidata"),
+                "geometry",
+            )
         )
 
     out = others.withColumn("parent_address_level", F.lit(3))
@@ -246,27 +272,28 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
 
     # place-node subpart bump (placex_triggers.sql:955-974): a place node
     # inside a boundary of the same address rank becomes a subpart (+2)
-    bnd = finalized_pdf
-    if len(bnd):
+    if finalized:
+        bnd = finalized[0]
+        for f_ in finalized[1:]:
+            bnd = bnd.unionByName(f_)
+        bnd = bnd.select(
+            F.col("place_id").alias("b_id"),
+            F.col("rank_address").alias("b_addr"),
+            "geometry",
+        )
         nodes = out.filter(
             (F.col("osm_type") == "N")
             & F.exists("categories", lambda c: c.startswith("osm.place"))
             & F.col("rank_address").between(16, 23)
         )
-        hit = point_in_polygon_join(
+        hit = point_in_polygon_join_dist(
             nodes.select("place_id", "lon", "lat", "rank_address"),
-            bnd[["place_id", "rank_address", "wkb"]].rename(
-                columns={"place_id": "b_id", "rank_address": "b_addr"}),
+            bnd,
             poly_key="b_id",
-            wkb_col="wkb",
-        )
-        attrs = spark.createDataFrame(
-            bnd[["place_id", "rank_address"]].rename(
-                columns={"place_id": "b_id", "rank_address": "b_addr"})
+            carry=("b_addr",),
         )
         bumped = (
-            hit.join(F.broadcast(attrs), "b_id")
-            .filter(F.col("b_addr") == F.col("rank_address"))
+            hit.filter(F.col("b_addr") == F.col("rank_address"))
             .select("place_id")
             .distinct()
             .withColumn("_bump", F.lit(2))
@@ -303,119 +330,122 @@ def assign_parents(placex: DataFrame,
 
     spark = placex.sparkSession
 
-    # --- lane 0: associatedStreet relations (J10).  The membership table
-    # is relation-shaped metadata (tiny vs. the POI side): resolve
-    # house-member -> street-member driver-side, broadcast the mapping.
-    type_num = {"N": 0, "W": 1, "R": 2}
-    assoc_rows = []
+    # --- lane 0: associatedStreet relations (J10).  Resolved as a
+    # relation-keyed equi-join — the membership table stays distributed
+    # (a planet has ~1e6 associatedStreet relations).
     if assoc_members is not None and len(assoc_members):
-        streets_by_rel = {
-            r.relation_id: r.member_id * 4 + type_num[r.member_type]
-            for r in assoc_members.itertuples() if r.role == "street"
-        }
-        for r in assoc_members.itertuples():
-            if r.role != "street" and r.relation_id in streets_by_rel:
-                assoc_rows.append(
-                    (r.member_id * 4 + type_num[r.member_type],
-                     streets_by_rel[r.relation_id])
-                )
-    if assoc_rows:
-        assoc_parent = spark.createDataFrame(
-            pd.DataFrame(assoc_rows, columns=["place_id", "parent_place_id"])
-        ).join(placex.select("place_id"), "place_id", "left_semi")
+        mem = spark.createDataFrame(assoc_members).withColumn(
+            "member_pid",
+            F.col("member_id") * 4
+            + F.when(F.col("member_type") == "N", 0)
+            .when(F.col("member_type") == "W", 1)
+            .otherwise(2),
+        )
+        rel_street = (
+            mem.filter(F.col("role") == "street")
+            .groupBy("relation_id")
+            .agg(F.min("member_pid").alias("parent_place_id"))
+        )
+        assoc_parent = (
+            mem.filter(F.col("role") != "street")
+            .join(rel_street, "relation_id")
+            .select(F.col("member_pid").alias("place_id"), "parent_place_id")
+            .join(placex.select("place_id"), "place_id", "left_semi")
+        )
     else:
         assoc_parent = spark.createDataFrame(
             pd.DataFrame(columns=["place_id", "parent_place_id"]),
             "place_id long, parent_place_id long",
         )
 
-    areas_pdf = placex.filter(
+    # --- containing-area lanes: ONE distributed PiP join over all of
+    # placex serves both the rank<=27 parenting and the POI fallback
+    # (the round-1 version collected every rank-1..25 polygon to the
+    # driver — fine at sf0.1, OOM at a planet's ~1e7 areas)
+    areas = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
-    ).select("place_id", "rank_address", "geometry", "minx", "miny", "maxx", "maxy").toPandas()
-    areas_pdf["wkb"] = areas_pdf["geometry"].map(bytes)
-    areas_pdf["area"] = (areas_pdf.maxx - areas_pdf.minx) * (areas_pdf.maxy - areas_pdf.miny)
-
-    low = placex.filter(F.col("rank_search") <= 27)
-    hit = point_in_polygon_join(
-        low.select("place_id", "lon", "lat", "rank_address"),
-        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "a_id"}),
+    ).select(
+        F.col("place_id").alias("a_id"),
+        F.col("rank_address").alias("a_addr"),
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).alias("a_area"),
+        "geometry",
+    )
+    area_hits = point_in_polygon_join_dist(
+        placex.select("place_id", "lon", "lat", "rank_address", "rank_search"),
+        areas,
         poly_key="a_id",
-        wkb_col="wkb",
-    )
-    attrs = spark.createDataFrame(
-        areas_pdf[["place_id", "rank_address", "area"]].rename(
-            columns={"place_id": "a_id", "rank_address": "a_addr", "area": "a_area"})
-    )
+        carry=("a_addr", "a_area"),
+    ).filter(F.col("a_id") != F.col("place_id")).persist()
+
     w = Window.partitionBy("place_id").orderBy(
         F.col("a_addr").desc(), F.col("a_area").asc(), F.col("a_id")
     )
     low_parent = (
-        hit.join(F.broadcast(attrs), "a_id")
+        area_hits.filter(F.col("rank_search") <= 27)
         .filter(F.col("a_addr") < F.coalesce(F.col("rank_address"), F.lit(26)))
-        .filter(F.col("a_id") != F.col("place_id"))
         .withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
         .select("place_id", F.col("a_id").alias("parent_place_id"))
     )
 
-    # --- POI/house -> street by addr:street name (J9 token_matches_street)
-    streets = placex.filter(F.col("rank_search").between(26, 27)).select(
-        "place_id", "name", "geometry", "minx", "miny", "maxx", "maxy"
-    )
-    streets_pdf = streets.toPandas()
-    street_rows = []
-    # pad the street cover by the reference's 0.015-degree search box
+    # --- POI/house -> street by addr:street name (J9 token_matches_street):
+    # street cover cells generated JVM-side from the bbox columns (sequence
+    # + explode — no geometry leaves the executors), padded by the
+    # reference's 0.015-degree search box
     # (partition-functions.sql:150-178 token_matches_street window)
     pad = max(0.015, grid.cell_size_deg(CELL_RES))
-    for r in streets_pdf.itertuples():
-        nm = (r.name or {}).get("name")
-        if not nm:
-            continue
-        key = norm_translit(nm)
-        cells = grid.cover_bbox(
-            r.minx - pad, r.miny - pad, r.maxx + pad, r.maxy + pad,
-            CELL_RES, limit=65536,
-        )
-        for c in cells:
-            street_rows.append((r.place_id, key, int(c)))
-    street_cells = spark.createDataFrame(
-        pd.DataFrame(street_rows, columns=["street_id", "street_key", "cell"])
-    )
+
+    @F.pandas_udf("string")
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: norm_translit(v) if isinstance(v, str) else "")
+
+    streets = placex.filter(F.col("rank_search").between(26, 27)).select(
+        F.col("place_id").alias("street_id"),
+        norm_udf(F.col("name").getItem("name")).alias("street_key"),
+        "minx", "miny", "maxx", "maxy", "geometry",
+    ).filter(F.col("street_key").isNotNull() & (F.col("street_key") != ""))
+    street_cells = explode_bbox_cells(
+        streets.select("street_id", "street_key",
+                       "minx", "miny", "maxx", "maxy"),
+        res=CELL_RES, pad=pad,
+    ).select("street_id", "street_key", "cell")
 
     pois = placex.filter(
         (F.col("rank_search") >= 28)
         & F.col("address").getItem("street").isNotNull()
     ).select("place_id", "lon", "lat", "cell", F.col("address").getItem("street").alias("_street"))
 
-    @F.pandas_udf("string")
-    def norm_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: norm_translit(v) if isinstance(v, str) else "")
-
     pois = pois.withColumn("street_key", norm_udf("_street"))
-    cand = pois.join(F.broadcast(street_cells), ["cell", "street_key"])
+    cand = pois.join(street_cells, ["cell", "street_key"])
 
-    # exact distance to street geometry for the winner
-    geom_by_id = {
-        int(r.place_id): bytes(r.geometry) for r in streets_pdf.itertuples()
-    }
-    bc = spark.sparkContext.broadcast(geom_by_id)
+    # exact distance to the street geometry, joined by key (one parse per
+    # distinct street per batch — no driver-built geometry dict)
+    cand = cand.join(
+        streets.select("street_id", F.col("geometry").alias("_swkb")),
+        "street_id",
+    )
 
     def dist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
-                yield pdf.assign(dist=pd.Series(dtype=float))
+                yield pdf.assign(dist=pd.Series(dtype=float)).drop(columns=["_swkb"])
                 continue
             d = np.empty(len(pdf))
-            for i, (sid, x, y) in enumerate(
-                zip(pdf["street_id"], pdf["lon"], pdf["lat"])
-            ):
-                coords = wkb.parse_wkb(bc.value[int(sid)]).parts[0]
-                f = ops.line_locate_point(coords, float(x), float(y))
-                px, py = ops.line_interpolate_point(coords, f)
-                d[i] = float(np.hypot(px - float(x), py - float(y)))
-            yield pdf.assign(dist=d)
+            px = pdf["lon"].to_numpy(dtype=float)
+            py = pdf["lat"].to_numpy(dtype=float)
+            for _sid, idx in pdf.groupby("street_id").indices.items():
+                coords = wkb.parse_wkb(bytes(pdf["_swkb"].iloc[idx[0]])).parts[0]
+                for i in idx:
+                    f = ops.line_locate_point(coords, px[i], py[i])
+                    qx, qy = ops.line_interpolate_point(coords, f)
+                    d[i] = float(np.hypot(qx - px[i], qy - py[i]))
+            yield pdf.assign(dist=d).drop(columns=["_swkb"])
 
-    cand_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cand.schema)
+    cand_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cand.schema if f.name != "_swkb"
+    )
     with_dist = cand.mapInPandas(dist_batch, schema=cand_schema + ", dist double")
     w2 = Window.partitionBy("place_id").orderBy("dist", "street_id")
     poi_parent = (
@@ -426,23 +456,20 @@ def assign_parents(placex: DataFrame,
 
     # --- addr:place lane (token_matches_place within 0.04 deg,
     # partition-functions.sql:181-207): POIs naming a place instead of a
-    # street parent to the nearest same-named place node/area
-    place_cands = placex.filter(
-        F.col("rank_address").between(16, 25)
-        & F.col("name").getItem("name").isNotNull()
-    ).select("place_id", "name", "lon", "lat").toPandas()
-    place_rows = []
-    pad = 0.04
-    for r in place_cands.itertuples():
-        key = norm_translit((r.name or {}).get("name", ""))
-        if not key:
-            continue
-        for c in grid.cover_bbox(r.lon - pad, r.lat - pad, r.lon + pad,
-                                 r.lat + pad, CELL_RES, limit=65536):
-            place_rows.append((r.place_id, key, int(c), r.lon, r.lat))
-    place_cells = spark.createDataFrame(
-        pd.DataFrame(place_rows,
-                     columns=["pl_id", "pl_key", "cell", "pl_lon", "pl_lat"])
+    # street parent to the nearest same-named place node/area; the place
+    # side's 0.04-degree disks become cover cells JVM-side
+    place_cells = explode_bbox_cells(
+        placex.filter(
+            F.col("rank_address").between(16, 25)
+            & F.col("name").getItem("name").isNotNull()
+        ).select(
+            F.col("place_id").alias("pl_id"),
+            norm_udf(F.col("name").getItem("name")).alias("pl_key"),
+            F.col("lon").alias("pl_lon"),
+            F.col("lat").alias("pl_lat"),
+        ).filter(F.col("pl_key").isNotNull() & (F.col("pl_key") != "")),
+        res=CELL_RES, pad=0.04,
+        minx="pl_lon", miny="pl_lat", maxx="pl_lon", maxy="pl_lat",
     )
     pois_pl = placex.filter(
         (F.col("rank_search") >= 28)
@@ -452,7 +479,7 @@ def assign_parents(placex: DataFrame,
     ).select("place_id", "lon", "lat", "cell",
              F.col("address").getItem("place").alias("_pl"))
     pois_pl = pois_pl.withColumn("pl_key", norm_udf("_pl"))
-    pl_cand = pois_pl.join(F.broadcast(place_cells), ["cell", "pl_key"])
+    pl_cand = pois_pl.join(place_cells, ["cell", "pl_key"])
     pl_cand = pl_cand.withColumn(
         "dist2",
         (F.col("lon") - F.col("pl_lon")) * (F.col("lon") - F.col("pl_lon"))
@@ -472,26 +499,21 @@ def assign_parents(placex: DataFrame,
         .unionByName(place_parent.select("place_id"))
         .unionByName(assoc_parent.select("place_id"))
     )
-    poi_rest = (
-        placex.filter(F.col("rank_search") >= 28)
-        .join(matched_so_far, "place_id", "left_anti")
-        .select("place_id", "lon", "lat", "rank_address")
-    )
-    hit2 = point_in_polygon_join(
-        poi_rest,
-        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "a_id"}),
-        poly_key="a_id",
-        wkb_col="wkb",
-    )
     rest_parent = (
-        hit2.join(F.broadcast(attrs), "a_id")
+        area_hits.filter(F.col("rank_search") >= 28)
+        .join(matched_so_far, "place_id", "left_anti")
         .withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
         .select("place_id", F.col("a_id").alias("parent_place_id"))
     )
 
     # lane-0 wins: drop tag-lane matches for relation-parented places
+    # (the reference gives the relation absolute precedence,
+    # placex_triggers.sql find_parent_for_poi)
     poi_parent = poi_parent.join(
+        assoc_parent.select("place_id"), "place_id", "left_anti"
+    )
+    place_parent = place_parent.join(
         assoc_parent.select("place_id"), "place_id", "left_anti"
     )
     low_parent = low_parent.join(

@@ -8,9 +8,9 @@ cascade is a coalesce over tier outputs:
 
   tier 1: kNN ring expansion against rank 26-30 places (J6) with the
           reference's max radius (0.006 deg for streets)
-  tier 2: point-in-polygon cover join against areas, deepest rank_address
-          wins (T5 semantics: rank desc, then smallest area)
-  tier 3: country polygon containment
+  tier 2: point-in-polygon cover join against areas rank 5..25, deepest
+          rank_address wins (T5 semantics: rank desc, then smallest area)
+  tier 3: country polygon containment (rank 1..4 — reverse.py:520-605)
 
 Returns one row per input point with the chosen place + tier label.
 """
@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nominatim_spark.operators.spatial import knn_join, point_in_polygon_join
+from nominatim_spark.operators.spatial import (
+    knn_join, point_in_polygon_join_dist)
 from nominatim_spark.pipeline.placex import IndexTables
 
 MAX_STREET_DIST_DEG = 0.006  # reverse.py:322-389 street search radius
@@ -52,48 +53,65 @@ def reverse_geocode(
         F.col("dist2") <= MAX_STREET_DIST_DEG ** 2
     ).select(point_key, F.col("cand_id").alias("t1_place"))
 
-    # ---- tier 2: deepest containing area
-    areas_pdf = placex.filter(
-        (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
-    ).select("place_id", "rank_address", "minx", "miny", "maxx", "maxy",
-             "geometry").toPandas()
-    areas_pdf["wkb"] = areas_pdf["geometry"].map(bytes)
-    areas_pdf["area"] = (
-        (areas_pdf.maxx - areas_pdf.minx) * (areas_pdf.maxy - areas_pdf.miny)
+    # ---- tier 2: deepest containing area (distributed PiP cover join —
+    # the area table scales with the planet, nothing reaches the driver).
+    # Country-level polygons (rank_address <= 4) are tier 3 below.
+    areas = placex.filter(
+        (F.col("extended_type") == "A") & F.col("rank_address").between(5, 25)
+    ).select(
+        F.col("place_id").alias("a_id"),
+        F.col("rank_address").alias("a_addr"),
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).alias("a_area"),
+        "geometry",
     )
-    hit = point_in_polygon_join(
-        points,
-        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "a_id"}),
-        poly_key="a_id",
-        wkb_col="wkb",
-    )
-    attrs = spark.createDataFrame(
-        areas_pdf[["place_id", "rank_address", "area"]].rename(
-            columns={"place_id": "a_id", "rank_address": "a_addr",
-                     "area": "a_area"})
+    hit = point_in_polygon_join_dist(
+        points, areas, poly_key="a_id", carry=("a_addr", "a_area"),
     )
     w = Window.partitionBy(point_key).orderBy(
         F.col("a_addr").desc(), F.col("a_area").asc(), F.col("a_id")
     )
     tier2 = (
-        hit.join(F.broadcast(attrs), "a_id")
-        .withColumn("_rn", F.row_number().over(w))
+        hit.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
         .select(point_key, F.col("a_id").alias("t2_place"))
+    )
+
+    # ---- tier 3: country containment (the reference's country fallback,
+    # reverse.py:520-605 lookup_country) — rank_address 1..4 polygons
+    countries = placex.filter(
+        (F.col("extended_type") == "A") & F.col("rank_address").between(1, 4)
+    ).select(
+        F.col("place_id").alias("c_id"),
+        F.col("rank_address").alias("c_addr"),
+        "geometry",
+    )
+    chit = point_in_polygon_join_dist(
+        points, countries, poly_key="c_id", carry=("c_addr",),
+    )
+    wc = Window.partitionBy(point_key).orderBy(
+        F.col("c_addr").desc(), F.col("c_id")
+    )
+    tier3 = (
+        chit.withColumn("_rn", F.row_number().over(wc))
+        .filter("_rn = 1")
+        .select(point_key, F.col("c_id").alias("t3_place"))
     )
 
     # ---- cascade
     out = (
         points.join(tier1, point_key, "left")
         .join(tier2, point_key, "left")
-        .withColumn("place_id", F.coalesce("t1_place", "t2_place"))
+        .join(tier3, point_key, "left")
+        .withColumn("place_id", F.coalesce("t1_place", "t2_place", "t3_place"))
         .withColumn(
             "tier",
             F.when(F.col("t1_place").isNotNull(), "street_poi")
             .when(F.col("t2_place").isNotNull(), "area")
+            .when(F.col("t3_place").isNotNull(), "country")
             .otherwise("none"),
         )
-        .drop("t1_place", "t2_place")
+        .drop("t1_place", "t2_place", "t3_place")
     )
     info = placex.select(
         "place_id", "osm_type", "osm_id", "class", "type",

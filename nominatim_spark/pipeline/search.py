@@ -40,33 +40,120 @@ from nominatim_spark.functions.text import norm_translit
 from nominatim_spark.pipeline.placex import IndexTables
 
 _HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4})\s*$")
+_DIGIT_TOK = re.compile(r"^\d{1,4}$")
+_PC_TOK = re.compile(r"^\d{5}$")  # synthetic country 'cv' pattern
+
+# token_assignment.py penalty constants (re-expressed):
+#   word-break split inside a phrase  -> 0.1  (word_break_penalty)
+#   housenumber before the name      -> 0.4  (:344)
+#   housenumber not at the edge      -> 0.25 (:301)
+#   postcode-only assignment         -> 0.1  (:379-381)
+_P_SPLIT = 0.1
+_P_HNR_LEADING = 0.4
+_P_HNR_INNER = 0.25
+_P_POSTCODE = 0.1
+MAX_ASSIGN_TOKENS = 9  # the reference bounds assignment enumeration
 
 
-def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
-    names, hnrs, addrs = [], [], []
-    for q in qtext:
-        phrases = [p.strip() for p in (q or "").split(",") if p.strip()]
-        name, hnr = (phrases[0] if phrases else ""), None
+def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]:
+    """Enumerate (name, hnr, addr, postcode, penalty) role assignments.
+
+    Re-expresses yield_token_assignments (src/nominatim_api/search/
+    token_assignment.py:402-440) for the batch engine:
+
+    * comma-phrased queries keep the aligned reading (phrase 0 = name,
+      rest = address) at penalty 0 — the reference's zero-penalty forward
+      assignment;
+    * un-phrased queries enumerate every forward split (name prefix /
+      address suffix) and backward split (address prefix / name suffix)
+      at the word-break penalty, exactly the *_address_forward/_backward
+      split loops (:270-356);
+    * a digit token takes the housenumber role, penalized when it is not
+      at the edge of the name (:301, :344);
+    * a postcode-shaped lone token becomes a postcode-only assignment
+      (:374-381).
+    """
+    phrases = [p.strip() for p in (q or "").split(",") if p.strip()]
+    out: list[tuple[str, str | None, str, str | None, float]] = []
+    if not phrases:
+        return [("", None, "", None, 0.0)]
+
+    if len(phrases) > 1:
+        name, hnr = phrases[0], None
         m = _HNR_RE.match(name)
         if m and m.group(1).strip():
             name, hnr = m.group(1).strip(), m.group(2)
-        names.append(norm_translit(name))
-        hnrs.append(hnr)
-        addrs.append(" ".join(norm_translit(p) for p in phrases[1:]))
-    return pd.DataFrame({"name_norm": names, "hnr": hnrs, "addr_norm": addrs})
+        addr = " ".join(norm_translit(p) for p in phrases[1:])
+        out.append((norm_translit(name), hnr, addr, None, 0.0))
+        return out
+
+    raw_toks = phrases[0].split()
+    if len(raw_toks) == 1 and _PC_TOK.match(raw_toks[0]):
+        return [("", None, "", raw_toks[0], _P_POSTCODE)]
+    if len(raw_toks) > MAX_ASSIGN_TOKENS:
+        return [(norm_translit(phrases[0]), None, "", None, 0.0)]
+
+    def emit(toks: list[str], hnr: str | None, base: float):
+        n = len(toks)
+        if n == 0:
+            return
+        norm = [norm_translit(t) for t in toks]
+        out.append((" ".join(norm), hnr, "", None, base))
+        for i in range(1, n):
+            # forward: name prefix, address suffix (:283-310)
+            out.append((" ".join(norm[:i]), hnr, " ".join(norm[i:]),
+                        None, base + _P_SPLIT))
+            # backward: address prefix, name suffix (:313-356)
+            out.append((" ".join(norm[i:]), hnr, " ".join(norm[:i]),
+                        None, base + _P_SPLIT))
+
+    digit_pos = [i for i, t in enumerate(raw_toks) if _DIGIT_TOK.match(t)]
+    if digit_pos and len(raw_toks) > 1:
+        j = digit_pos[-1]
+        base = (0.0 if j == len(raw_toks) - 1
+                else _P_HNR_LEADING if j == 0 else _P_HNR_INNER)
+        emit(raw_toks[:j] + raw_toks[j + 1:], raw_toks[j], base)
+    else:
+        emit(raw_toks, None, 0.0)
+
+    # dedupe (name, hnr, addr) keeping the lowest penalty
+    best: dict[tuple, tuple] = {}
+    for a in out:
+        k = (a[0], a[1], a[2], a[3])
+        if k not in best or a[4] < best[k][4]:
+            best[k] = a
+    return list(best.values())
+
+
+def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
+    rows = []
+    for pos, q in enumerate(qtext):
+        for aid, (name, hnr, addr, pc, pen) in enumerate(_assignments(q)):
+            rows.append((pos, aid, name, hnr, addr, pc, pen))
+    return pd.DataFrame(
+        rows,
+        columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
+                 "postcode", "apenalty"],
+    )
 
 
 def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
-    """Add name_norm / hnr / addr_norm columns (vectorized parse+normalize)."""
+    """Explode each query into its role assignments: one row per
+    (query, assignment) with name_norm / hnr / addr_norm / postcode /
+    apenalty columns.  Comma-phrased queries produce exactly one aligned
+    assignment (no fan-out on the flagship path)."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
-    ) + ", name_norm string, hnr string, addr_norm string"
+    ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
+         ", postcode string, apenalty double")
 
     def run(batches):
         for pdf in batches:
             parsed = _parse_batch(pdf[text_col])
+            base = pdf.reset_index(drop=True)
+            merged = base.iloc[parsed["_pos"]].reset_index(drop=True)
             yield pd.concat(
-                [pdf.reset_index(drop=True), parsed.reset_index(drop=True)],
+                [merged, parsed.drop(columns=["_pos"]).reset_index(drop=True)],
                 axis=1,
             )
 
@@ -95,9 +182,18 @@ def geocode(
     queries: DataFrame,
     *,
     osmline: DataFrame | None = None,
+    postcodes: DataFrame | None = None,
     text_col: str = "qtext",
 ) -> DataFrame:
-    """Batch geocode: one row per query_id (best match, may be absent)."""
+    """Batch geocode: one row per query_id (best match, may be absent).
+
+    Every lane operates per (query_id, assign_id) — one row per role
+    assignment from parse_queries — and the final min_by folds the
+    assignment penalty into the ranking, so the cheapest assignment whose
+    lanes all match wins (the reference's penalty-ordered plan execution,
+    geocoder.py:120-162, collapsed into one ranked union).
+    ``postcodes``: optional location_postcodes table enabling the postcode
+    search lane (db_searches/postcode_search.py analog)."""
     q = parse_queries(queries, text_col).persist()
 
     # ---- name lane first, THEN address recheck on the candidates only.
@@ -122,19 +218,19 @@ def geocode(
     )
 
     name_toks = _token_ids(
-        q.select("query_id", "name_norm", "n_name_toks"), idx.word,
-        "name_norm", "word_id",
+        q.select("query_id", "assign_id", "name_norm", "n_name_toks"),
+        idx.word, "name_norm", "word_id",
     )
     name_hits = (
         name_toks.filter(F.col("word_id").isNotNull())
         .join(idx.name_postings, "word_id")
-        .groupBy("query_id", "place_id")
+        .groupBy("query_id", "assign_id", "place_id")
         .agg(
             F.count(F.lit(1)).alias("n_hit"),
             F.first("n_name_toks").alias("n_name_toks"),
         )
         .filter(F.col("n_hit") == F.col("n_name_toks"))
-        .select("query_id", "place_id")
+        .select("query_id", "assign_id", "place_id")
     )
 
     # address lane (Restrict recheck, J3): every addr token must appear in
@@ -143,32 +239,34 @@ def geocode(
     # address tokens are anti-selective)
     addr_toks = _token_ids(
         q.filter(F.col("addr_norm") != "").select(
-            "query_id", "addr_norm", "n_addr_toks"
+            "query_id", "assign_id", "addr_norm", "n_addr_toks"
         ),
         idx.word, "addr_norm", "word_id",
     )
     addr_ok = (
         name_hits.join(
-            addr_toks.filter(F.col("word_id").isNotNull()), "query_id"
+            addr_toks.filter(F.col("word_id").isNotNull()),
+            ["query_id", "assign_id"],
         )
         .join(idx.addr_postings, ["word_id", "place_id"], "left_semi")
-        .groupBy("query_id", "place_id")
+        .groupBy("query_id", "assign_id", "place_id")
         .agg(
             F.count(F.lit(1)).alias("n_addr_hit"),
             F.first("n_addr_toks").alias("n_addr_toks"),
         )
     )
     with_addr = (
-        name_hits.join(addr_ok, ["query_id", "place_id"], "left")
+        name_hits.join(addr_ok, ["query_id", "assign_id", "place_id"], "left")
         .join(
-            q.select("query_id", F.col("n_addr_toks").alias("q_addr_toks")),
-            "query_id",
+            q.select("query_id", "assign_id",
+                     F.col("n_addr_toks").alias("q_addr_toks")),
+            ["query_id", "assign_id"],
         )
         .filter(
             (F.col("q_addr_toks") == 0)
             | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("q_addr_toks"))
         )
-        .select("query_id", "place_id")
+        .select("query_id", "assign_id", "place_id")
     )
 
     sn = idx.search_name.select(
@@ -184,8 +282,10 @@ def geocode(
     cand.count()
 
     # ---- housenumber lane: candidates that are streets get children
-    qh = q.filter(F.col("hnr").isNotNull()).select("query_id", "hnr")
-    street_cand = cand.join(qh, "query_id").filter(
+    qh = q.filter(F.col("hnr").isNotNull()).select(
+        "query_id", "assign_id", "hnr"
+    )
+    street_cand = cand.join(qh, ["query_id", "assign_id"]).filter(
         F.col("rank_search").between(26, 27)
     )
     houses = idx.search_name.filter(F.col("housenumber").isNotNull()).select(
@@ -203,6 +303,7 @@ def geocode(
         & (street_cand.hnr == houses.h_hnr),
     ).select(
         "query_id",
+        "assign_id",
         F.col("house_id").alias("place_id"),
         F.col("h_osm_type").alias("osm_type"),
         F.col("h_osm_id").alias("osm_id"),
@@ -214,7 +315,7 @@ def geocode(
         F.col("h_lon").alias("lon"),
         F.col("h_lat").alias("lat"),
         F.col("hnr").alias("housenumber"),
-        F.lit(0).alias("penalty"),
+        F.lit(0.0).alias("penalty"),
         F.lit(0.0).alias("text_dist"),
     )
 
@@ -235,6 +336,7 @@ def geocode(
             )
             .select(
                 "query_id",
+                "assign_id",
                 F.col("osmline_id").alias("place_id"),
                 F.lit("W").alias("osm_type"),
                 F.col("osmline_id").alias("osm_id"),
@@ -246,7 +348,7 @@ def geocode(
                 F.col("mid_lon").alias("lon"),
                 F.col("mid_lat").alias("lat"),
                 F.col("hnr").alias("housenumber"),
-                F.lit(1).alias("penalty"),
+                F.lit(1.0).alias("penalty"),
                 F.lit(0.0).alias("text_dist"),
             )
         )
@@ -266,8 +368,10 @@ def geocode(
         6,
     )
     plain = (
-        cand.join(qh.select("query_id"), "query_id", "left_anti")
-        .join(q.select("query_id", "name_norm"), "query_id")
+        cand.join(qh.select("query_id", "assign_id"),
+                  ["query_id", "assign_id"], "left_anti")
+        .join(q.select("query_id", "assign_id", "name_norm"),
+              ["query_id", "assign_id"])
         .withColumn(
             "text_dist",
             F.when(
@@ -276,25 +380,71 @@ def geocode(
             ).otherwise(text_dist),
         )
         .select(
-            "query_id", "place_id", "osm_type", "osm_id", "class", "type",
-            "rank_search", "rank_address", "importance", "lon", "lat",
+            "query_id", "assign_id", "place_id", "osm_type", "osm_id",
+            "class", "type", "rank_search", "rank_address", "importance",
+            "lon", "lat",
             F.lit(None).cast("string").alias("housenumber"),
-            F.lit(0).alias("penalty"),
+            F.lit(0.0).alias("penalty"),
             "text_dist",
         )
     )
     # hnr queries where no house/interp matched: fall back to the street
     street_fallback = street_cand.select(
-        "query_id", "place_id", "osm_type", "osm_id", "class", "type",
-        "rank_search", "rank_address", "importance", "lon", "lat",
+        "query_id", "assign_id", "place_id", "osm_type", "osm_id", "class",
+        "type", "rank_search", "rank_address", "importance", "lon", "lat",
         F.lit(None).cast("string").alias("housenumber"),
-        F.lit(2).alias("penalty"),
+        F.lit(2.0).alias("penalty"),
         F.lit(0.0).alias("text_dist"),
     )
 
     all_hits = plain.unionByName(house_hits).unionByName(street_fallback)
     if interp_hits is not None:
         all_hits = all_hits.unionByName(interp_hits)
+
+    # ---- postcode lane (PostcodeSearch, db_searches/postcode_search.py):
+    # postcode-role assignments resolve against the postcode table
+    if postcodes is not None:
+        qp = q.filter(F.col("postcode").isNotNull()).select(
+            "query_id", "assign_id", "postcode"
+        )
+        pc = postcodes.select(
+            F.upper(F.col("postcode")).alias("postcode"),
+            F.col("country_code").alias("pc_cc"),
+            F.col("lon").alias("pc_lon"), F.col("lat").alias("pc_lat"),
+            F.col("rank_search").alias("pc_rs"),
+            F.col("rank_address").alias("pc_ra"),
+        )
+        pc_hits = qp.withColumn("postcode", F.upper("postcode")).join(
+            pc, "postcode"
+        ).select(
+            "query_id",
+            "assign_id",
+            # postcodes live outside the placex id space: namespace bit 3
+            # like osmline, but negative to stay disjoint from it as well
+            (-F.abs(F.xxhash64("pc_cc", "postcode"))).alias("place_id"),
+            F.lit("P").alias("osm_type"),
+            F.lit(None).cast("long").alias("osm_id"),
+            F.lit("place").alias("class"),
+            F.lit("postcode").alias("type"),
+            F.col("pc_rs").cast("int").alias("rank_search"),
+            F.col("pc_ra").cast("int").alias("rank_address"),
+            F.lit(0.0).alias("importance"),
+            F.col("pc_lon").alias("lon"),
+            F.col("pc_lat").alias("lat"),
+            F.lit(None).cast("string").alias("housenumber"),
+            F.lit(0.0).alias("penalty"),
+            F.lit(0.0).alias("text_dist"),
+        )
+        all_hits = all_hits.unionByName(pc_hits)
+
+    # fold in the assignment penalty (weigh_search analog: the cheapest
+    # assignment whose lanes matched wins, ranking.sql:327-345)
+    all_hits = all_hits.join(
+        q.select("query_id", "assign_id", "apenalty"),
+        ["query_id", "assign_id"],
+    ).withColumn("penalty", F.col("penalty") + F.col("apenalty")).drop(
+        "apenalty", "assign_id"
+    )
 
     # final ranking: lowest penalty, then importance desc, then stable id.
     # min_by over an orderable struct = one hash aggregation (with map-side

@@ -8,10 +8,9 @@ lib-sql/functions/placex_triggers.sql:394-654) as three DataFrames:
 
 * ``word``           — (word_id, word_token, type, word): 'W' full names,
                        'w' partial words, 'H' housenumbers, 'C' countries.
-                       Ids are dense row_numbers over a deterministic sort
-                       (at planet scale this becomes zipWithIndex over a
-                       sorted distinct — same determinism, no single-task
-                       window).
+                       Ids are dense indexes from zipWithIndex over the
+                       globally sorted distinct terms — deterministic and
+                       fully parallel (no single-task window stage).
 * ``search_name``    — per place: name_vector (own tokens),
                        nameaddress_vector (own + ancestor-area + parent
                        street tokens), ranks, importance, centroid.
@@ -32,7 +31,7 @@ from pyspark.sql import types as T
 
 from nominatim_spark.functions.housenumbers import canonical_housenumber
 from nominatim_spark.functions.text import norm_translit
-from nominatim_spark.operators.spatial import point_in_polygon_join
+from nominatim_spark.operators.spatial import point_in_polygon_join_dist
 from nominatim_spark.pipeline.placex import IndexTables
 
 # type objects (not DDL strings): usable without an active session at import
@@ -64,21 +63,23 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
     )
 
     # ---- ancestor areas (address terms): covering areas rank_address 1..25
-    areas_pdf = named.filter(
+    # — fully distributed PiP cover join (the area table scales with the
+    # planet; the name rides the join as a carry column)
+    areas = named.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
-    ).select("place_id", "norm_name", "geometry").toPandas()
-    areas_pdf["wkb"] = areas_pdf["geometry"].map(bytes)
-    anc = point_in_polygon_join(
-        named.select("place_id", "lon", "lat"),
-        areas_pdf[["place_id", "wkb"]].rename(columns={"place_id": "anc_id"}),
-        poly_key="anc_id",
-        wkb_col="wkb",
-    ).filter(F.col("anc_id") != F.col("place_id")).select("place_id", "anc_id")
-    anc_names = spark.createDataFrame(
-        areas_pdf[["place_id", "norm_name"]].rename(
-            columns={"place_id": "anc_id", "norm_name": "anc_name"})
+    ).select(
+        F.col("place_id").alias("anc_id"),
+        F.col("norm_name").alias("anc_name"),
+        "geometry",
     )
-    ancestors = anc.join(F.broadcast(anc_names), "anc_id")
+    ancestors = point_in_polygon_join_dist(
+        named.select("place_id", "lon", "lat"),
+        areas,
+        poly_key="anc_id",
+        carry=("anc_name",),
+    ).filter(F.col("anc_id") != F.col("place_id")).select(
+        "place_id", "anc_id", "anc_name"
+    )
 
     # parent street contributes its name to POI/house address terms
     # (create_poi_search_terms, placex_triggers.sql:394-484)
@@ -131,12 +132,20 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         ).alias("term"),
     ).filter(F.col("term") != "w:").distinct()
 
-    # ---- word table: dense deterministic ids
+    # ---- word table: dense deterministic ids via zipWithIndex over the
+    # globally sorted distinct terms (range-partitioned sort keeps every
+    # partition in order, so the index is the same dense sequence a global
+    # row_number would give — without the single-task window stage)
     all_terms = name_terms.select("term").unionByName(
         addr_terms.select("term")
     ).distinct()
-    w = Window.orderBy("term")
-    word = all_terms.withColumn("word_id", F.row_number().over(w)).select(
+    indexed = (
+        all_terms.sort("term")
+        .rdd.map(lambda r: r.term)
+        .zipWithIndex()
+        .map(lambda ti: (ti[1] + 1, ti[0]))
+    )
+    word = spark.createDataFrame(indexed, "word_id long, term string").select(
         "word_id",
         F.substring("term", 3, 10000).alias("word_token"),
         F.substring("term", 1, 1).alias("type"),

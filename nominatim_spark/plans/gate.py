@@ -27,7 +27,8 @@ from pyspark.sql import types as T
 
 from nominatim_spark import grid
 from nominatim_spark.geometry.wkb import box_wkb
-from nominatim_spark.operators.spatial import knn_join, point_in_polygon_join
+from nominatim_spark.operators.spatial import (
+    knn_join, point_in_polygon_join, point_in_polygon_join_dist)
 from nominatim_spark.plans import synthgeo as sg
 
 TABLES = [
@@ -766,6 +767,91 @@ SELECT doc_a, doc_b, cos_r FROM pairs WHERE cos_r >= 0.3
 """
 
 
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash pair join (the dedup scale path): per-band bucket
+    equi-join + exact hamming verify.  The oracle is the BRUTE-force SQL —
+    the pigeonhole band split (max_hamming+1 bands) makes the banded result
+    provably identical, and this row proves it on real data."""
+    from nominatim_spark.operators.dedup import simhash_pairs_banded
+
+    return simhash_pairs_banded(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup (the ANN-dedup scale path) over
+    the embeddings table augmented with rescaled copies (vec_id+100000,
+    vector*2 — cosine exactly 1 with the original).  Scaling preserves
+    every hyperplane-projection sign, so the planted duplicates are
+    *provably* caught by the bucket join; the exact-cosine verify then
+    matches the brute-force oracle bit-for-bit at threshold 0.99 (the
+    synthetic embeddings' natural pairs top out at cos 0.513)."""
+    from nominatim_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")
+        .alias("embedding"),
+    )
+    return embedding_neardup_lsh(
+        emb.select("vec_id", "embedding").unionByName(scaled),
+        threshold=0.99, n_planes=16, n_bands=2,
+    )
+
+
+Q_EMBED_LSH_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_r
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, cos_r FROM pairs WHERE cos_r >= 0.99
+"""
+
+
+def q_pip_cover_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed point-in-polygon cover join (J5 at planet scale):
+    polygon side stays a DataFrame, mapInPandas generates classified
+    multi-tier cover cells (interior cells skip the exact recheck), points
+    explode per tier and equi-join on cell.  Same oracle as pip_cover_join
+    — proves the distributed path bit-equal to the broadcast path."""
+    nat = load(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        f"CAST({sg.NATION_LON0} AS DOUBLE) AS lon0",
+        f"CAST({sg.NATION_LAT0} AS DOUBLE) AS lat0",
+    )
+
+    def mk_wkb(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "n_nationkey": pdf["n_nationkey"],
+                "geometry": [
+                    box_wkb(float(x), float(y),
+                            float(x) + sg.NATION_W, float(y) + sg.NATION_H)
+                    for x, y in zip(pdf["lon0"], pdf["lat0"])
+                ],
+            })
+
+    polys = nat.mapInPandas(mk_wkb, schema="n_nationkey long, geometry binary")
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    joined = point_in_polygon_join_dist(
+        pts, polys, poly_key="n_nationkey", res_tiers=(0, 4), limit=256,
+    )
+    return joined.select(F.col("n_nationkey").cast("int"), "c_custkey")
+
+
 def q_window_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-plus-epsilon window pruning (W1 — first_value over ORDER BY,
     place_search.py:124-131): keep customers within 100 of their nation's
@@ -955,8 +1041,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embed_topk_cosine": (q_embed_topk, Q_EMBED_SQL),
     "text_stats": (q_text_stats, _q_text_stats_sql()),
     "simhash_pairs": (q_simhash_pairs, _q_simhash_sql()),
+    "simhash_pairs_banded": (q_simhash_banded, _q_simhash_sql()),
     "ngram_jaccard_pairs": (q_ngram_jaccard, Q_JACCARD_SQL),
     "embed_neardup_pairs": (q_embed_neardup, Q_EMBED_NEARDUP_SQL),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, Q_EMBED_LSH_SQL),
+    "pip_cover_join_dist": (q_pip_cover_join_dist, Q_PIP_SQL),
     "window_prune_epsilon": (q_window_prune, Q_WINDOW_PRUNE_SQL),
     "bbox_agg": (q_bbox_agg, Q_BBOX_SQL),
     "min_dist_penalty": (q_min_dist_penalty, Q_MIN_DIST_SQL),

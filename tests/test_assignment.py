@@ -1,0 +1,99 @@
+"""Token-role assignment for unstructured queries + postcode search lane.
+
+Shapes ported from the reference's token-assignment tests
+(/root/reference/test/python/api/search/test_token_assignment.py) and
+postcode search (db_searches/postcode_search.py)."""
+
+import pytest
+
+from nominatim_spark.pipeline.search import _assignments, geocode
+from nominatim_spark.pipeline.postcodes import build_postcodes
+from nominatim_spark.plans.flagship import build_synth_index
+from nominatim_spark.sources import synth
+
+SCALE = dict(n_cities=4, n_streets=4, n_houses=4, n_pois=2)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_assign"))
+    idx, osmline = build_synth_index(spark, ckpt_root=ckpt, **SCALE)
+    idx.search_name.persist().count()
+    return idx, osmline
+
+
+def _by_roles(assigns):
+    return {(a[0], a[1], a[2], a[3]): a[4] for a in assigns}
+
+
+def test_comma_query_single_assignment():
+    a = _assignments("Birch Street 3, Vels")
+    assert len(a) == 1
+    name, hnr, addr, pc, pen = a[0]
+    assert (name, hnr, addr, pen) == ("birch street", "3", "vels", 0.0)
+
+
+def test_unphrased_splits_both_directions():
+    roles = _by_roles(_assignments("Birch Street Vels"))
+    # full name, zero penalty
+    assert roles[("birch street vels", None, "", None)] == 0.0
+    # forward split: name prefix / addr suffix
+    assert roles[("birch street", None, "vels", None)] == pytest.approx(0.1)
+    # backward split: addr prefix / name suffix
+    assert roles[("street vels", None, "birch", None)] == pytest.approx(0.1)
+    assert roles[("vels", None, "birch street", None)] == pytest.approx(0.1)
+
+
+def test_trailing_housenumber_unpenalized():
+    roles = _by_roles(_assignments("Vels Birch Street 3"))
+    assert roles[("birch street", "3", "vels", None)] == pytest.approx(0.1)
+    assert roles[("vels birch street", "3", "", None)] == 0.0
+
+
+def test_leading_housenumber_penalized():
+    roles = _by_roles(_assignments("3 Birch Street"))
+    assert roles[("birch street", "3", "", None)] == pytest.approx(0.4)
+
+
+def test_postcode_only_assignment():
+    a = _assignments("47000")
+    assert a == [("", None, "", "47000", pytest.approx(0.1))]
+
+
+def test_geocode_unphrased_queries(spark, index):
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("f1", f"{synth.street_name(0, 0)} {synth.city_name(0)}"),
+         ("b1", f"{synth.city_name(0)} {synth.street_name(0, 0)}"),
+         ("h1", f"{synth.city_name(0)} {synth.street_name(0, 0)} 3"),
+         ("c1", synth.city_name(1))],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(spark, idx, q, osmline=osmline).collect()}
+    street_pid = 10000 * 4 + 1
+    assert (res["f1"].osm_type, res["f1"].osm_id) == ("W", 10000)
+    assert (res["b1"].osm_type, res["b1"].osm_id) == ("W", 10000)
+    assert res["h1"].housenumber == "3"
+    assert res["h1"].osm_type == "N"
+    assert (res["c1"].osm_type, res["c1"].osm_id) == ("R", 101)
+    del street_pid
+
+
+def test_geocode_postcode_lane(spark, index):
+    idx, osmline = index
+    postcodes = build_postcodes(spark, idx.placex)
+    q = spark.createDataFrame(
+        [("p1", "47000"), ("p2", "47002"), ("miss", "99999")],
+        "query_id string, qtext string",
+    )
+    res = {
+        r.query_id: r
+        for r in geocode(
+            spark, idx, q, osmline=osmline, postcodes=postcodes
+        ).collect()
+    }
+    assert res["p1"].type == "postcode" and res["p1"].osm_type == "P"
+    cx, cy = synth.city_center(0)
+    assert abs(res["p1"].lon - cx) < 0.2 and abs(res["p1"].lat - cy) < 0.2
+    assert res["p2"].type == "postcode"
+    assert "miss" not in res

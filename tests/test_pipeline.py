@@ -154,6 +154,30 @@ def test_reverse_geocode(spark, index):
     assert res["rural"].country_code == "cv"
 
 
+def test_reverse_country_tier(spark, index):
+    """Tier 3: a point inside the country but outside every rank-5..25 area
+    falls through to the country polygon (reverse.py:520-605)."""
+    import dataclasses
+
+    idx, _ = index
+    # strip states/cities so only the country polygon can contain the point
+    thin = dataclasses.replace(
+        idx,
+        placex=idx.placex.filter(
+            (F.col("rank_address") <= 4) | (F.col("rank_address") >= 26)
+        ),
+    )
+    pts = spark.createDataFrame(
+        [("rural", 10.9, 48.45), ("ocean", -30.0, 0.0)],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r for r in reverse_geocode(spark, thin, pts).collect()}
+    assert res["rural"].tier == "country"
+    assert res["rural"].osm_id == 1
+    assert res["ocean"].tier == "none"
+    assert res["ocean"].place_id is None
+
+
 def test_extraction_byte_identity(spark):
     pages = synth.pages_df(spark, n_pages=50, **SCALE)
     a = sorted(map(tuple, extract_pages(pages).collect()))
