@@ -77,7 +77,7 @@ def main() -> None:
     from nominatim_spark.sources import synth
 
     idx, osmline = build_synth_index(
-        spark, ckpt_root="/tmp/nominatim_bench_ckpt_v2", resume=True,
+        spark, ckpt_root="/tmp/nominatim_bench_ckpt_v3", resume=True,
         n_cities=8, n_streets=12, n_houses=10, n_pois=5,
     )
     idx.search_name.persist().count()

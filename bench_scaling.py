@@ -48,7 +48,7 @@ N_FILLER = int(os.environ.get("SPARK_GRAFT_BENCH_FILLER", "15"))
 MENTION_PCT = int(os.environ.get("SPARK_GRAFT_BENCH_MENTION_PCT", "100"))
 N_SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-CKPT = "/tmp/nominatim_bench_ckpt_v2"
+CKPT = "/tmp/nominatim_bench_ckpt_v3"
 PAGES = "/tmp/nominatim_bench_pages"
 SCALE = dict(n_cities=8, n_streets=12, n_houses=10, n_pois=5)
 

@@ -345,6 +345,76 @@ def point_in_polygon_join_dist(
     return hits
 
 
+def _explode_disk(df: DataFrame, lon: str, lat: str, res: int,
+                  k: int) -> DataFrame:
+    """Explode each point row into its Chebyshev k-disk of cells at ``res``
+    (JVM arithmetic: sequence + explode, longitude wraps, latitude clips)."""
+    scale = 1 << res
+    out = df.withColumn(
+        "_ix", F.expr(f"CAST(FLOOR(({lon} + 180.0) * {scale}) AS BIGINT)")
+    ).withColumn(
+        "_iy", F.expr(f"CAST(FLOOR(({lat} + 90.0) * {scale}) AS BIGINT)")
+    )
+    offs = F.expr(f"sequence({-k}, {k})")
+    return (
+        out.withColumn("_dx", F.explode(offs))
+        .withColumn("_dy", F.explode(offs))
+        .withColumn(
+            "cell",
+            F.expr(
+                f"CAST({res} AS BIGINT) * CAST({2**56} AS BIGINT)"
+                f" + (_iy + _dy) * CAST({2**28} AS BIGINT)"
+                f" + pmod(_ix + _dx, {360 * scale})"
+            ),
+        )
+        .filter(F.col("_iy") + F.col("_dy") >= 0)
+        .filter(F.col("_iy") + F.col("_dy") < 180 * scale)
+        .drop("_ix", "_iy", "_dx", "_dy")
+    )
+
+
+def within_distance_join(
+    points: DataFrame,
+    candidates: DataFrame,
+    *,
+    radius_deg: float,
+    res: int | None = None,
+    point_key: str = "point_id",
+    cand_key: str = "cand_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """All candidates within ``radius_deg`` of each point (J18 NearSearch
+    geometry: the reference's within-distance theta join,
+    db_searches/near_search.py:75-135, as a disk-cell cover equi-join +
+    exact distance filter).
+
+    Returns (point_key, cand_key, dist2).  ``res`` defaults to the coarsest
+    resolution where the disk spans <= 2 cells per axis — fan-out is then
+    a bounded 5x5 cell block regardless of radius.
+    """
+    if res is None:
+        res = max(0, min(grid.MAX_RES,
+                         int(np.floor(np.log2(2.0 / max(radius_deg, 1e-9))))))
+    k = int(np.ceil(radius_deg * (1 << res)))
+    cand = with_cell(candidates, lon, lat, res).select(
+        F.col(cand_key), F.col(lon).alias("_clon"),
+        F.col(lat).alias("_clat"), "cell",
+    )
+    pts = _explode_disk(points.select(point_key, lon, lat), lon, lat, res, k)
+    return (
+        pts.join(cand, "cell")
+        .withColumn(
+            "dist2",
+            (F.col(lon) - F.col("_clon")) * (F.col(lon) - F.col("_clon"))
+            + (F.col(lat) - F.col("_clat")) * (F.col(lat) - F.col("_clat")),
+        )
+        .filter(F.col("dist2") <= radius_deg * radius_deg)
+        .select(point_key, cand_key, "dist2")
+        .dropDuplicates([point_key, cand_key])
+    )
+
+
 def knn_join(
     points: DataFrame,
     candidates: DataFrame,

@@ -4,13 +4,17 @@ Re-expresses find_linked_place (/root/reference/lib-sql/functions/
 placex_triggers.sql:271-391) as two prioritized containment joins over all
 admin boundaries at once:
 
+  lane 0 (label):    a relation member with role ``label`` is the linked
+         node unconditionally (placex_triggers.sql:283-309) — the most
+         reliable signal, no containment required;
   lane 1 (wikidata): a place node whose ``extratags.wikidata`` equals the
          boundary's, inside the boundary;
   lane 2 (name):     a place node with the same normalized name whose
          address rank band matches, inside the boundary;
 
-one linkee per boundary (wikidata lane wins, then smallest node place_id —
-the reference's deterministic pick).  Effects (trigger :1113-1160):
+one linkee per boundary (label lane wins, then wikidata, then smallest
+node place_id — the reference's deterministic pick).  Effects
+(trigger :1113-1160):
 
 * the node gets ``linked_place_id`` = boundary's place_id and is excluded
   from search_name / reverse results (the P5 guard);
@@ -18,9 +22,8 @@ the reference's deterministic pick).  Effects (trigger :1113-1160):
   geometry, the max importance, and the node's capital flag (so the
   capital search-rank boost lands on the boundary).
 
-(Label-member relation linking — lane 0 in the reference — requires
-relation membership data the synthetic source doesn't model; documented
-gap in COVERAGE.md.)
+``label_members``: optional (relation_id, member_type, member_id, role)
+rows — the relation membership table feeding lane 0.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ from pyspark.sql import functions as F
 from nominatim_spark.operators.spatial import point_in_polygon_join_dist
 
 
-def link_places(spark, placex: DataFrame) -> DataFrame:
+def link_places(spark, placex: DataFrame,
+                label_members: DataFrame | None = None) -> DataFrame:
     """placex -> placex with linked_place_id set and boundary attributes
     adopted from their label nodes.  Must run after rank assignment and
     before search-table build."""
@@ -69,6 +73,30 @@ def link_places(spark, placex: DataFrame) -> DataFrame:
         F.col("is_major").alias("n_major"),
         F.col("importance").alias("n_importance"),
     )
+    # lane 0: label members (no containment requirement — the relation
+    # membership IS the link, placex_triggers.sql:283-309)
+    label_links = None
+    if label_members is not None and not label_members.isEmpty():
+        mem = label_members.filter(F.col("role") == "label").select(
+            # boundary relations: place_id = osm_id*4 + 2
+            (F.col("relation_id") * 4 + 2).alias("b_id"),
+            (F.col("member_id") * 4
+             + F.when(F.col("member_type") == "N", 0)
+             .when(F.col("member_type") == "W", 1).otherwise(2)
+             ).alias("node_id"),
+        )
+        label_links = (
+            mem.join(bnds.select("b_id"), "b_id", "left_semi")
+            .join(
+                cand_nodes.select(
+                    "node_id", "lon", "lat",
+                    F.col("n_major"), F.col("n_importance"),
+                ),
+                "node_id",
+            )
+            .withColumn("lane", F.lit(0))
+        )
+
     # distributed PiP cover join — boundary attrs ride as carry columns
     scored = point_in_polygon_join_dist(
         cand_nodes, bnds, poly_key="b_id",
@@ -90,9 +118,17 @@ def link_places(spark, placex: DataFrame) -> DataFrame:
         ),
     ).filter(F.col("lane").isNotNull())
 
+    ranked = scored.select(
+        "b_id", "node_id", "lon", "lat", "n_major", "n_importance", "lane"
+    )
+    if label_links is not None:
+        ranked = ranked.unionByName(
+            label_links.select("b_id", "node_id", "lon", "lat",
+                               "n_major", "n_importance", "lane")
+        )
     w = Window.partitionBy("b_id").orderBy("lane", "node_id")
     links = (
-        scored.withColumn("_rn", F.row_number().over(w))
+        ranked.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
         .select(
             "b_id", "node_id",

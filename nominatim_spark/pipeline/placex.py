@@ -543,7 +543,8 @@ class IndexTables:
 
 def build_placex(place: DataFrame, ckpt_root: str | None = None,
                  resume: bool = False,
-                 assoc_members: pd.DataFrame | None = None) -> DataFrame:
+                 assoc_members: pd.DataFrame | None = None,
+                 label_members: pd.DataFrame | None = None) -> DataFrame:
     """place -> fully ranked & parented placex, checkpointed per stage.
 
     Each stage materializes to parquet with a lineage manifest
@@ -584,7 +585,9 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
     def _linked():
         from nominatim_spark.pipeline.linking import link_places
 
-        out = link_places(spark, df4)
+        lm = (spark.createDataFrame(label_members)
+              if label_members is not None and len(label_members) else None)
+        out = link_places(spark, df4, label_members=lm)
         # boundary centroids may have moved to their label node: refresh
         # the locality cell key
         return out.withColumn("cell", F.expr(grid.encode_sql("lon", "lat", CELL_RES)))
@@ -595,7 +598,8 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
 
 def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
                 resume: bool = False,
-                assoc_members: pd.DataFrame | None = None) -> IndexTables:
+                assoc_members: pd.DataFrame | None = None,
+                label_members: pd.DataFrame | None = None) -> IndexTables:
     import tempfile
 
     from nominatim_spark.io.checkpoint import checkpoint
@@ -604,7 +608,8 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
     if ckpt_root is None:
         ckpt_root = tempfile.mkdtemp(prefix="nominatim_spark_ckpt_")
     placex = build_placex(place, ckpt_root, resume=resume,
-                          assoc_members=assoc_members)
+                          assoc_members=assoc_members,
+                          label_members=label_members)
     idx = build_search_tables(spark, placex)
     word = checkpoint(idx.word, ckpt_root, "word", inputs=["placex"])
     name_post = checkpoint(idx.name_postings, ckpt_root, "name_postings",

@@ -176,6 +176,17 @@ def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
     return toks.join(F.broadcast(w), "_tok", "left")
 
 
+# DataLayer -> class sets (nominatim_api/types.py DataLayer flags; the
+# class membership mirrors db_search_builder.py's layer SQL)
+LAYER_CLASSES: dict[str, tuple[str, ...]] = {
+    "poi": ("amenity", "shop", "tourism", "leisure", "historic", "office"),
+    "address": ("place", "boundary", "highway", "building"),
+    "railway": ("railway",),
+    "natural": ("natural", "water", "waterway"),
+    "manmade": ("man_made", "aeroway", "military"),
+}
+
+
 def geocode(
     spark,
     idx: IndexTables,
@@ -184,6 +195,10 @@ def geocode(
     osmline: DataFrame | None = None,
     postcodes: DataFrame | None = None,
     text_col: str = "qtext",
+    viewbox: tuple[float, float, float, float] | None = None,
+    bounded_viewbox: bool = False,
+    layers: list[str] | None = None,
+    excluded_place_ids: list[int] | None = None,
 ) -> DataFrame:
     """Batch geocode: one row per query_id (best match, may be absent).
 
@@ -193,7 +208,13 @@ def geocode(
     lanes all match wins (the reference's penalty-ordered plan execution,
     geocoder.py:120-162, collapsed into one ranked union).
     ``postcodes``: optional location_postcodes table enabling the postcode
-    search lane (db_searches/postcode_search.py analog)."""
+    search lane (db_searches/postcode_search.py analog).
+
+    Search knobs (db_searches/base.py:53-95, place_search.py:82-90):
+    ``viewbox`` filters candidates when ``bounded_viewbox`` else penalizes
+    results outside it (+1.0); ``layers`` restricts candidate classes
+    (DataLayer analog, keys of LAYER_CLASSES); ``excluded_place_ids``
+    drops specific places (P4)."""
     q = parse_queries(queries, text_col).persist()
 
     # ---- name lane first, THEN address recheck on the candidates only.
@@ -278,7 +299,20 @@ def geocode(
     # fallback branches below all reuse it, and Spark does not reuse
     # exchanges across differently-projected union branches — without this
     # the whole posting-join subtree runs 3-4x (measured 63s -> ~20s)
-    cand = with_addr.join(sn, "place_id").persist()
+    cand = with_addr.join(sn, "place_id")
+    # ---- candidate-side search knobs (filters push below the persist so
+    # excluded/out-of-layer rows never enter the cached exchange)
+    if excluded_place_ids:
+        cand = cand.filter(~F.col("place_id").isin(list(excluded_place_ids)))
+    if layers:
+        classes = [c for lyr in layers for c in LAYER_CLASSES[lyr]]
+        cand = cand.filter(F.col("class").isin(classes))
+    if viewbox is not None and bounded_viewbox:
+        vx0, vy0, vx1, vy1 = viewbox
+        cand = cand.filter(
+            F.col("lon").between(vx0, vx1) & F.col("lat").between(vy0, vy1)
+        )
+    cand = cand.persist()
     cand.count()
 
     # ---- housenumber lane: candidates that are streets get children
@@ -288,15 +322,28 @@ def geocode(
     street_cand = cand.join(qh, ["query_id", "assign_id"]).filter(
         F.col("rank_search").between(26, 27)
     )
-    houses = idx.search_name.filter(F.col("housenumber").isNotNull()).select(
-        F.col("parent_place_id").alias("street_id"),
-        F.col("place_id").alias("house_id"),
-        F.col("housenumber").alias("h_hnr"),
-        F.col("lon").alias("h_lon"),
-        F.col("lat").alias("h_lat"),
-        F.col("osm_type").alias("h_osm_type"),
-        F.col("osm_id").alias("h_osm_id"),
-    )
+    # one row per (house, housenumber): clean_housenumbers splits "2;4;6"
+    # lists, so a house matches any of its numbers
+    if "housenumbers" in idx.search_name.columns:
+        houses = idx.search_name.filter(F.size("housenumbers") > 0).select(
+            F.col("parent_place_id").alias("street_id"),
+            F.col("place_id").alias("house_id"),
+            F.explode("housenumbers").alias("h_hnr"),
+            F.col("lon").alias("h_lon"),
+            F.col("lat").alias("h_lat"),
+            F.col("osm_type").alias("h_osm_type"),
+            F.col("osm_id").alias("h_osm_id"),
+        )
+    else:
+        houses = idx.search_name.filter(F.col("housenumber").isNotNull()).select(
+            F.col("parent_place_id").alias("street_id"),
+            F.col("place_id").alias("house_id"),
+            F.col("housenumber").alias("h_hnr"),
+            F.col("lon").alias("h_lon"),
+            F.col("lat").alias("h_lat"),
+            F.col("osm_type").alias("h_osm_type"),
+            F.col("osm_id").alias("h_osm_id"),
+        )
     house_hits = street_cand.join(
         houses,
         (street_cand.place_id == houses.street_id)
@@ -437,6 +484,18 @@ def geocode(
         )
         all_hits = all_hits.unionByName(pc_hits)
 
+    # unbounded viewbox: results outside the box survive but carry a
+    # penalty (db_searches/base.py viewbox handling)
+    if viewbox is not None and not bounded_viewbox:
+        vx0, vy0, vx1, vy1 = viewbox
+        outside = ~(
+            F.col("lon").between(vx0, vx1) & F.col("lat").between(vy0, vy1)
+        )
+        all_hits = all_hits.withColumn(
+            "penalty",
+            F.col("penalty") + F.when(outside, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
     # fold in the assignment penalty (weigh_search analog: the cheapest
     # assignment whose lanes matched wins, ranking.sql:327-345)
     all_hits = all_hits.join(
@@ -459,3 +518,51 @@ def geocode(
         ).alias("_best")
     )
     return best.select("query_id", "_best.*")
+
+
+def near_search(
+    spark,
+    idx: IndexTables,
+    anchors: DataFrame,
+    *,
+    cls: str,
+    typ: str | None = None,
+    radius_deg: float = 0.02,
+    k: int = 5,
+    point_key: str = "anchor_id",
+) -> DataFrame:
+    """Category near-search (J18 — the reference's NearSearch,
+    db_searches/near_search.py:75-135): for each anchor point, the ``k``
+    nearest places of the requested class[/type] within ``radius_deg``.
+
+    anchors: (point_key, lon, lat) — typically the result rows of a prior
+    geocode/reverse step (the reference chains NearSearch after the anchor
+    search the same way, db_search_builder.py near_item handling).
+
+    Plan: disk-cell cover equi-join (bounded 5x5 block per anchor) + exact
+    distance filter + per-anchor top-k window — never an all-pairs product.
+    """
+    from nominatim_spark.operators.spatial import within_distance_join
+
+    placex = idx.placex
+    if "linked_place_id" in placex.columns:
+        placex = placex.filter(F.col("linked_place_id").isNull())
+    cands = placex.filter(F.col("class") == cls)
+    if typ is not None:
+        cands = cands.filter(F.col("type") == typ)
+    hits = within_distance_join(
+        anchors, cands.select(F.col("place_id").alias("cand_id"), "lon", "lat"),
+        radius_deg=radius_deg, point_key=point_key, cand_key="cand_id",
+    )
+    w = Window.partitionBy(point_key).orderBy("dist2", "cand_id")
+    topk = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(point_key, F.col("cand_id").alias("place_id"),
+                "dist2", F.col("_rn").alias("rank"))
+    )
+    info = placex.select(
+        "place_id", "osm_type", "osm_id", "class", "type",
+        F.col("name").getItem("name").alias("name"), "lon", "lat",
+    )
+    return topk.join(info, "place_id")

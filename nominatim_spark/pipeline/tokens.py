@@ -48,19 +48,69 @@ canon_hnr_udf = F.pandas_udf(
 )
 
 
+def _norm_arr(arr):
+    return [norm_translit(v) for v in arr] if arr is not None else []
+
+
+norm_names_udf = F.pandas_udf(
+    lambda s: s.map(_norm_arr), T.ArrayType(T.StringType()),
+)
+
+
+def _variants_arr(norms):
+    from nominatim_spark.functions.variants import variants_default
+
+    out: dict[str, None] = {}
+    for n in (norms or []):
+        for v in variants_default(n):
+            out.setdefault(v, None)
+    return list(out)
+
+
+variants_udf = F.pandas_udf(
+    lambda s: s.map(_variants_arr), T.ArrayType(T.StringType()),
+)
+
+
+def _canon_arr(arr):
+    out: dict[str, None] = {}
+    for v in (arr or []):
+        c = canonical_housenumber(v)
+        if c:
+            out.setdefault(c, None)
+    return list(out)
+
+
+canon_hnrs_udf = F.pandas_udf(
+    lambda s: s.map(_canon_arr), T.ArrayType(T.StringType()),
+)
+
+
 def build_search_tables(spark, placex: DataFrame) -> IndexTables:
+    from nominatim_spark.pipeline.sanitizers import apply_sanitizers
+
     # linked label nodes are excluded from the search index — the P5 guard
     # (linked_place_id IS NULL, place_search.py:182-183); their boundary
     # carries the searchable entry
     if "linked_place_id" in placex.columns:
         placex = placex.filter(F.col("linked_place_id").isNull())
 
-    # ---- per-place normalized name & housenumber
-    named = placex.withColumn(
-        "norm_name", norm_name_udf(F.col("name").getItem("name"))
+    # ---- sanitizer chain (§2.10: split-name-list, strip-brace-terms,
+    # clean-names, clean-housenumbers) -> _names/_hnrs arrays, then
+    # normalization and variant expansion (abbreviation trie + mutations,
+    # generic.py:58-143) — the index carries every spelling variant so
+    # single-form queries ("Birch St") match
+    named = apply_sanitizers(placex).withColumn(
+        "norm_names", norm_names_udf(F.col("_names"))
     ).withColumn(
-        "housenumber", canon_hnr_udf(F.col("address").getItem("housenumber"))
-    )
+        "var_names", variants_udf(F.col("norm_names"))
+    ).withColumn(
+        "norm_name", F.expr("try_element_at(norm_names, 1)")
+    ).withColumn(
+        "housenumbers", canon_hnrs_udf(F.col("_hnrs"))
+    ).withColumn(
+        "housenumber", F.expr("try_element_at(housenumbers, 1)")
+    ).drop("_names", "_hnrs")
 
     # ---- ancestor areas (address terms): covering areas rank_address 1..25
     # — fully distributed PiP cover join (the area table scales with the
@@ -81,47 +131,53 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         "place_id", "anc_id", "anc_name"
     )
 
-    # parent street contributes its name to POI/house address terms
-    # (create_poi_search_terms, placex_triggers.sql:394-484)
+    # parent street contributes its name variants to POI/house address
+    # terms (create_poi_search_terms, placex_triggers.sql:394-484)
     parent_names = named.select(
         F.col("place_id").alias("parent_place_id"),
-        F.col("norm_name").alias("parent_name"),
+        F.col("var_names").alias("parent_vars"),
     )
     with_parent = named.join(parent_names, "parent_place_id", "left")
 
     # ---- token strings per place
-    # name terms: the full normalized name (W) and its words (w)
+    # name terms: every variant contributes its full form (W) + words (w)
     name_terms = (
-        named.filter(F.col("norm_name").isNotNull())
+        named.filter(F.size("var_names") > 0)
+        .select("place_id", F.explode("var_names").alias("_v"))
         .select(
             "place_id",
             F.explode(
                 F.array_union(
-                    F.array(F.concat(F.lit("W:"), F.col("norm_name"))),
+                    F.array(F.concat(F.lit("W:"), F.col("_v"))),
                     F.transform(
-                        F.split("norm_name", " "),
+                        F.split("_v", " "),
                         lambda t: F.concat(F.lit("w:"), t),
                     ),
                 )
             ).alias("term"),
         )
         .filter(~F.col("term").isin("W:", "w:"))
+        .distinct()
     )
-    hnr_terms = named.filter(F.col("housenumber").isNotNull()).select(
-        "place_id", F.concat(F.lit("H:"), F.col("housenumber")).alias("term")
+    hnr_terms = named.filter(F.size("housenumbers") > 0).select(
+        "place_id",
+        F.explode(
+            F.transform("housenumbers", lambda h: F.concat(F.lit("H:"), h))
+        ).alias("term"),
     )
     name_terms = name_terms.unionByName(hnr_terms)
 
-    # address terms: ancestor-area words + parent street words + own words
+    # address terms: ancestor-area words + parent street variant words +
+    # own variant words
     addr_sources = (
         ancestors.select("place_id", F.col("anc_name").alias("src_name"))
         .unionByName(
             with_parent.select(
-                "place_id", F.col("parent_name").alias("src_name")
+                "place_id", F.explode("parent_vars").alias("src_name")
             ).filter(F.col("src_name").isNotNull())
         )
         .unionByName(
-            named.select("place_id", F.col("norm_name").alias("src_name"))
+            named.select("place_id", F.explode("var_names").alias("src_name"))
             .filter(F.col("src_name").isNotNull())
         )
     )
@@ -176,8 +232,9 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
     search_name = (
         named.select(
             "place_id", "osm_type", "osm_id", "class", "type", "norm_name",
-            "housenumber", "parent_place_id", "rank_search", "rank_address",
-            "country_code", "partition", "importance", "lon", "lat", "cell",
+            "housenumber", "housenumbers", "parent_place_id", "rank_search",
+            "rank_address", "country_code", "partition", "importance",
+            "lon", "lat", "cell",
         )
         .join(name_vec, "place_id", "left")
         .join(addr_vec, "place_id", "left")

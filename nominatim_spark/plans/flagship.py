@@ -43,7 +43,8 @@ def build_synth_index(
             spark.createDataFrame(assoc_houses, schema=synth.PLACE_SCHEMA)
         )
     idx = build_index(spark, place, ckpt_root=ckpt_root, resume=resume,
-                      assoc_members=members)
+                      assoc_members=members,
+                      label_members=synth.make_label_members(n_cities=n_cities))
     ways, nodes = synth.make_interpolations(n_cities=n_cities)
     osmline = build_osmline(spark, ways, nodes, idx.placex)
     return idx, osmline

@@ -852,6 +852,52 @@ def q_pip_cover_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(F.col("n_nationkey").cast("int"), "c_custkey")
 
 
+def q_near_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category near-search (J18 — NearSearch, near_search.py:75-135):
+    for each supplier anchor, the 3 nearest BUILDING-segment customers
+    within 3 degrees, via the disk-cell cover equi-join + exact distance
+    filter (never an all-pairs product).  Oracle: brute cross join."""
+    from nominatim_spark.operators.spatial import within_distance_join
+
+    anchors = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{sg.SUPP_LON} AS lon", f"{sg.SUPP_LAT} AS lat"
+    )
+    cands = load(spark, sf_dir, "customer").filter(
+        "c_mktsegment = 'BUILDING'"
+    ).selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat"
+    )
+    hits = within_distance_join(
+        anchors, cands, radius_deg=3.0, point_key="s_suppkey",
+        cand_key="c_custkey",
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("dist2", "c_custkey")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("s_suppkey", "c_custkey", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q_NEAR_CATEGORY_SQL = f"""
+WITH anchors AS ({sg.supplier_points_sql()}),
+     cands AS (
+       SELECT c_custkey, {sg.CUST_LON} AS lon, {sg.CUST_LAT} AS lat
+       FROM customer WHERE c_mktsegment = 'BUILDING'),
+     d AS (
+       SELECT s_suppkey, c_custkey,
+              (anchors.lon - cands.lon) * (anchors.lon - cands.lon)
+            + (anchors.lat - cands.lat) * (anchors.lat - cands.lat) AS dist2
+       FROM anchors CROSS JOIN cands)
+SELECT s_suppkey, c_custkey, rnk FROM (
+  SELECT s_suppkey, c_custkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                 ORDER BY dist2, c_custkey) AS INT) AS rnk
+  FROM d WHERE dist2 <= 9.0) t
+WHERE rnk <= 3
+"""
+
+
 def q_window_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-plus-epsilon window pruning (W1 — first_value over ORDER BY,
     place_search.py:124-131): keep customers within 100 of their nation's
@@ -1046,6 +1092,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embed_neardup_pairs": (q_embed_neardup, Q_EMBED_NEARDUP_SQL),
     "embed_neardup_lsh": (q_embed_neardup_lsh, Q_EMBED_LSH_SQL),
     "pip_cover_join_dist": (q_pip_cover_join_dist, Q_PIP_SQL),
+    "near_category_join": (q_near_category, Q_NEAR_CATEGORY_SQL),
     "window_prune_epsilon": (q_window_prune, Q_WINDOW_PRUNE_SQL),
     "bbox_agg": (q_bbox_agg, Q_BBOX_SQL),
     "min_dist_penalty": (q_min_dist_penalty, Q_MIN_DIST_SQL),

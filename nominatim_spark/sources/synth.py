@@ -218,6 +218,22 @@ def make_associated_streets(n_cities: int = 8, n_streets: int = 12
     return pd.DataFrame(members), houses_pdf
 
 
+def make_label_members(n_cities: int = 8) -> pd.DataFrame:
+    """Relation label members (reference linking lane 0,
+    placex_triggers.sql:283-309): odd-indexed city boundary relations carry
+    their label node as a role='label' member.  Even-indexed cities keep
+    linking through the wikidata/name lanes, so every lane stays
+    exercised."""
+    rows = [
+        {"relation_id": 100 + i, "member_type": "N",
+         "member_id": 3000 + i, "role": "label"}
+        for i in range(n_cities) if i % 2 == 1
+    ]
+    return pd.DataFrame(
+        rows, columns=["relation_id", "member_type", "member_id", "role"]
+    )
+
+
 def make_interpolations(n_cities: int = 8) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Interpolation ways + companion housenumber nodes (FIXTURES.md §3).
 

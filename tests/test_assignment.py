@@ -79,6 +79,63 @@ def test_geocode_unphrased_queries(spark, index):
     del street_pid
 
 
+def test_search_knobs(spark, index):
+    """viewbox / layers / excluded_place_ids (db_searches/base.py:53-95,
+    place_search.py:82-90)."""
+    idx, osmline = index
+    street_pid = 10000 * 4 + 1
+    q = spark.createDataFrame(
+        [("k1", f"{synth.street_name(0, 0)}, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    base = geocode(spark, idx, q, osmline=osmline).collect()
+    assert base[0].place_id == street_pid
+
+    # excluded: the street is skipped, another candidate (or nothing) wins
+    excl = geocode(spark, idx, q, osmline=osmline,
+                   excluded_place_ids=[street_pid]).collect()
+    assert all(r.place_id != street_pid for r in excl)
+
+    # bounded viewbox far away: no result
+    far = geocode(spark, idx, q, osmline=osmline,
+                  viewbox=(0.0, 0.0, 1.0, 1.0),
+                  bounded_viewbox=True).collect()
+    assert far == []
+
+    # layer restriction: poi layer excludes highway results
+    poi_only = geocode(spark, idx, q, osmline=osmline,
+                       layers=["poi"]).collect()
+    assert all(r["class"] != "highway" for r in poi_only)
+
+    # unbounded viewbox: result survives with a penalty
+    pen = geocode(spark, idx, q, osmline=osmline,
+                  viewbox=(0.0, 0.0, 1.0, 1.0)).collect()
+    assert pen[0].place_id == street_pid and pen[0].penalty >= 1.0
+
+
+def test_near_search_category(spark, index):
+    """NearSearch (J18, db_searches/near_search.py:75-135): category
+    candidates within a radius of each anchor, nearest first."""
+    from nominatim_spark.pipeline.search import near_search
+
+    idx, _ = index
+    cx, cy = synth.city_center(0)
+    # anchor exactly on POI 0 of city 0 (poi p sits at cx-0.08+p*0.04)
+    anchors = spark.createDataFrame(
+        [("a0", cx - 0.08, cy - 0.1 + 0.003)],
+        "anchor_id string, lon double, lat double",
+    )
+    res = near_search(
+        spark, idx, anchors, cls="amenity", typ="restaurant",
+        radius_deg=0.08, k=5,
+    ).collect()
+    assert len(res) == 2  # both city-0 POIs are inside the radius
+    best = min(res, key=lambda r: r.rank)
+    assert best.osm_id == 100000  # POI 0 is the anchor itself
+    assert best.dist2 <= 1e-9
+    assert all(r["class"] == "amenity" for r in res)
+
+
 def test_geocode_postcode_lane(spark, index):
     idx, osmline = index
     postcodes = build_postcodes(spark, idx.placex)

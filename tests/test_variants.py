@@ -1,0 +1,110 @@
+"""Name-variant expansion + sanitizer chain.
+
+Shapes ported from the reference's token-analysis tests
+(/root/reference/test/python/tokenizer/token_analysis/test_generic.py,
+test_generic_mutation.py) and sanitizer tests
+(test/python/tokenizer/sanitizers/)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nominatim_spark.functions.variants import (
+    MAX_VARIANTS, compile_rules, compute_variants, variants_default)
+from nominatim_spark.pipeline.sanitizers import apply_sanitizers
+from nominatim_spark.pipeline.search import geocode
+from nominatim_spark.plans.flagship import build_synth_index
+from nominatim_spark.sources import synth
+
+SCALE = dict(n_cities=4, n_streets=4, n_houses=4, n_pois=2)
+
+
+def test_simple_replacement_keeps_original():
+    rules = compile_rules(["street -> st"])
+    assert set(compute_variants("birch street", rules)) == {
+        "birch street", "birch st"
+    }
+
+
+def test_replace_only_rule():
+    rules = compile_rules(["street => st"])
+    got = set(compute_variants("birch street", rules))
+    # '=>' replaces, but the original form is always kept as a variant of
+    # record (the engine keeps norm_name searchable)
+    assert "birch st" in got
+
+
+def test_reverse_direction_generated():
+    # abbreviated data must match expanded queries too
+    rules = compile_rules(["street -> st"])
+    assert "birch street" in set(compute_variants("birch st", rules))
+
+
+def test_multi_word_and_sources():
+    rules = compile_rules(["avenue,av -> ave"])
+    got = set(compute_variants("north avenue", rules))
+    assert {"north avenue", "north ave"} <= got
+
+
+def test_no_partial_word_match():
+    rules = compile_rules(["st -> street"])
+    # 'st' inside 'strasse' must not match (word-boundary semantics)
+    assert compute_variants("strasse", rules) == ["strasse"]
+
+
+def test_mutations_product():
+    rules = compile_rules([], [("ae", ["ae", "a"])])
+    got = set(compute_variants("baeder strae", rules))
+    assert got == {"baeder strae", "bader strae", "baeder stra", "bader stra"}
+
+
+def test_variant_cap():
+    rules = compile_rules(["a -> a,b,c,d"])
+    name = " ".join(["a"] * 8)  # 4^8 >> 128 -> fall back to original
+    got = compute_variants(name, rules)
+    assert got == [name]
+
+
+def test_default_rules_street():
+    got = set(variants_default("birch street"))
+    assert "birch st" in got and "birch street" in got
+    assert len(got) <= MAX_VARIANTS
+
+
+def test_sanitizers_chain(spark):
+    pdf = pd.DataFrame({
+        "name": [{"name": "Alpha;Beta (old)"}, {"name": None}, {}],
+        "address": [{"housenumber": "2;4, 6"}, {}, {"housenumber": "8"}],
+    })
+    df = spark.createDataFrame(
+        pdf, "name map<string,string>, address map<string,string>"
+    )
+    out = apply_sanitizers(df).select("_names", "_hnrs").collect()
+    assert sorted(out[0]._names) == ["Alpha", "Beta", "Beta (old)"]
+    assert sorted(out[0]._hnrs) == ["2", "4", "6"]
+    assert out[1]._names == [] and out[1]._hnrs == []
+    assert out[2]._hnrs == ["8"]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_variants"))
+    idx, osmline = build_synth_index(spark, ckpt_root=ckpt, **SCALE)
+    idx.search_name.persist().count()
+    return idx, osmline
+
+
+def test_geocode_abbreviated_street(spark, index):
+    """'Birch St' resolves like 'Birch Street' (the reference's variant
+    expansion makes abbreviation queries first-class)."""
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("ab1", f"Birch St, {synth.city_name(0)}"),
+         ("ab2", f"Birch St 3, {synth.city_name(0)}"),
+         ("full", f"Birch Street, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(spark, idx, q, osmline=osmline).collect()}
+    assert (res["ab1"].osm_type, res["ab1"].osm_id) == ("W", 10000)
+    assert res["ab2"].housenumber == "3" and res["ab2"].osm_type == "N"
+    assert (res["full"].osm_type, res["full"].osm_id) == ("W", 10000)
