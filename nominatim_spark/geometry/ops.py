@@ -118,6 +118,62 @@ def _shoelace(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def simplify_coords(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker line simplification (F12 — the reference simplifies
+    oversized polygons before storing them, lib-sql/functions/
+    utils.sql:394-515 ST_SimplifyPreserveTopology usage).
+
+    Iterative stack implementation (no recursion limit); endpoints are
+    always kept, so closed rings stay closed.
+    """
+    n = len(coords)
+    if n <= 2 or tolerance <= 0:
+        return coords
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        seg = coords[lo:hi + 1]
+        a, b = seg[0], seg[-1]
+        d = b - a
+        seg_len2 = float(d @ d)
+        if seg_len2 == 0.0:
+            dist = np.hypot(seg[1:-1, 0] - a[0], seg[1:-1, 1] - a[1])
+        else:
+            # perpendicular distance of interior points to chord a-b
+            t = ((seg[1:-1] - a) @ d) / seg_len2
+            proj = a + np.clip(t, 0.0, 1.0)[:, None] * d
+            dist = np.hypot(seg[1:-1, 0] - proj[:, 0],
+                            seg[1:-1, 1] - proj[:, 1])
+        if len(dist) == 0:
+            continue
+        imax = int(np.argmax(dist))
+        if dist[imax] > tolerance:
+            mid = lo + 1 + imax
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return coords[keep]
+
+
+def simplify_geom(geom: Geom, tolerance: float) -> Geom:
+    """Simplify every ring/line of a geometry; rings keep >= 4 points
+    (triangle + closure) so they stay valid polygons."""
+    from nominatim_spark.geometry.wkb import Geom as _G
+
+    parts = []
+    for p in geom.parts:
+        s = simplify_coords(np.asarray(p, dtype=np.float64), tolerance)
+        if geom.type_name in ("Polygon", "MultiPolygon") and len(s) < 4:
+            s = np.asarray(p, dtype=np.float64)  # degenerate: keep original
+        parts.append(s)
+    return _G(kind=geom.kind, parts=parts,
+              part_offsets=list(geom.part_offsets))
+
+
 def polygon_centroid(geom: Geom) -> tuple[float, float]:
     """Area-weighted centroid over exterior rings minus holes."""
     sa = sx = sy = 0.0

@@ -187,7 +187,7 @@ LAYER_CLASSES: dict[str, tuple[str, ...]] = {
 }
 
 
-def geocode(
+def score_hits(
     spark,
     idx: IndexTables,
     queries: DataFrame,
@@ -200,7 +200,8 @@ def geocode(
     layers: list[str] | None = None,
     excluded_place_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Batch geocode: one row per query_id (best match, may be absent).
+    """All scored candidate hits per query (the ranked union the final
+    top-1/top-k cuts operate on).
 
     Every lane operates per (query_id, assign_id) — one row per role
     assignment from parse_queries — and the final min_by folds the
@@ -498,18 +499,25 @@ def geocode(
 
     # fold in the assignment penalty (weigh_search analog: the cheapest
     # assignment whose lanes matched wins, ranking.sql:327-345)
-    all_hits = all_hits.join(
+    return all_hits.join(
         q.select("query_id", "assign_id", "apenalty"),
         ["query_id", "assign_id"],
     ).withColumn("penalty", F.col("penalty") + F.col("apenalty")).drop(
         "apenalty", "assign_id"
     )
 
-    # final ranking: lowest penalty, then importance desc, then stable id.
-    # min_by over an orderable struct = one hash aggregation (with map-side
-    # partial) instead of a sort + window — cheaper by a full sort and
-    # deterministic because (penalty, text_dist, -importance, place_id)
-    # ends in the unique place_id.
+
+def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:
+    """Batch geocode: one row per query_id (best match, may be absent).
+
+    Final ranking: lowest penalty, then importance desc, then stable id.
+    min_by over an orderable struct = one hash aggregation (with map-side
+    partial) instead of a sort + window — cheaper by a full sort and
+    deterministic because (penalty, text_dist, -importance, place_id)
+    ends in the unique place_id.  See score_hits for the lane DAG and the
+    search knobs.
+    """
+    all_hits = score_hits(spark, idx, queries, **kw)
     val_cols = [c for c in all_hits.columns if c != "query_id"]
     best = all_hits.groupBy("query_id").agg(
         F.expr(
@@ -518,6 +526,34 @@ def geocode(
         ).alias("_best")
     )
     return best.select("query_id", "_best.*")
+
+
+def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
+                max_results: int = 10, epsilon: float = 0.5,
+                **kw) -> DataFrame:
+    """Batch geocode returning the ranked result LIST per query with the
+    reference's adaptive cut (T4 — geocoder.py:174-191): results worse
+    than best-penalty + ``epsilon`` are dropped, then the list is capped
+    at ``max_results``.  Adds ``result_rank`` (1 = best)."""
+    all_hits = score_hits(spark, idx, queries, **kw)
+    # a place can match through several assignments: keep its best row
+    wp = Window.partitionBy("query_id", "place_id").orderBy(
+        "penalty", "text_dist"
+    )
+    all_hits = (
+        all_hits.withColumn("_rn", F.row_number().over(wp))
+        .filter("_rn = 1").drop("_rn")
+    )
+    wq = Window.partitionBy("query_id")
+    worder = wq.orderBy("penalty", "text_dist", F.col("importance").desc(),
+                        "place_id")
+    return (
+        all_hits.withColumn("_best_pen", F.min("penalty").over(wq))
+        .filter(F.col("penalty") <= F.col("_best_pen") + F.lit(epsilon))
+        .withColumn("result_rank", F.row_number().over(worder))
+        .filter(F.col("result_rank") <= max_results)
+        .drop("_best_pen")
+    )
 
 
 def near_search(

@@ -113,6 +113,29 @@ def test_search_knobs(spark, index):
     assert pen[0].place_id == street_pid and pen[0].penalty >= 1.0
 
 
+def test_geocode_all_adaptive_cut(spark, index):
+    """T4 (geocoder.py:174-191): ranked list per query, results beyond
+    best-penalty + epsilon dropped."""
+    from nominatim_spark.pipeline.search import geocode_all
+
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("q1", f"{synth.street_name(0, 0)}, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = geocode_all(spark, idx, q, osmline=osmline,
+                      max_results=5, epsilon=0.5).collect()
+    assert len(res) >= 1
+    ranks = sorted(r.result_rank for r in res)
+    assert ranks == list(range(1, len(res) + 1))
+    best = next(r for r in res if r.result_rank == 1)
+    assert (best.osm_type, best.osm_id) == ("W", 10000)
+    pens = [r.penalty for r in res]
+    assert max(pens) <= min(pens) + 0.5
+    # no duplicate places in the list
+    assert len({r.place_id for r in res}) == len(res)
+
+
 def test_near_search_category(spark, index):
     """NearSearch (J18, db_searches/near_search.py:75-135): category
     candidates within a radius of each anchor, nearest first."""

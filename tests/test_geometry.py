@@ -92,3 +92,33 @@ def test_haversine():
     d = ops.haversine_m(9.5215, 47.1410, 8.5417, 47.3769)
     assert 74_000 < float(d) < 82_000
     assert float(ops.haversine_m(0, 0, 0, 0)) == 0.0
+
+
+def test_simplify_coords():
+    import numpy as np
+
+    from nominatim_spark.geometry import ops
+
+    # collinear midpoints collapse; the off-line vertex survives
+    line = np.array([[0.0, 0.0], [1.0, 0.001], [2.0, 0.0], [3.0, 1.0],
+                     [4.0, 0.0]])
+    out = ops.simplify_coords(line, 0.01)
+    assert [tuple(p) for p in out] == [(0.0, 0.0), (2.0, 0.0), (3.0, 1.0),
+                                       (4.0, 0.0)]
+    # endpoints always kept
+    assert tuple(out[0]) == (0.0, 0.0) and tuple(out[-1]) == (4.0, 0.0)
+
+
+def test_simplify_geom_ring_stays_closed():
+    import numpy as np
+
+    from nominatim_spark.geometry import ops, wkb
+
+    ring = [(0, 0), (1, 0.0001), (2, 0), (2, 2), (0, 2), (0, 0)]
+    geom = wkb.parse_wkb(wkb.polygon_wkb(ring))
+    simp = ops.simplify_geom(geom, 0.01)
+    ext = simp.parts[0]
+    assert len(ext) == 5  # the near-collinear vertex dropped
+    assert np.allclose(ext[0], ext[-1])  # still closed
+    # area essentially unchanged
+    assert abs(ops.polygon_area(simp) - ops.polygon_area(geom)) < 0.01

@@ -1,0 +1,116 @@
+"""Incremental index updates (diff replay) — streaming/updates.py.
+
+Mirrors the reference's diff-import semantics (place_force_update
+invalidation + reindex of dirty rows)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nominatim_spark.geometry.wkb import point_wkb
+from nominatim_spark.pipeline.search import geocode
+from nominatim_spark.plans.flagship import build_synth_index
+from nominatim_spark.sources import synth
+from nominatim_spark.sources.synth import PLACE_SCHEMA
+from nominatim_spark.streaming.updates import apply_place_updates
+
+SCALE = dict(n_cities=2, n_streets=2, n_houses=2, n_pois=1)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_upd"))
+    idx, _ = build_synth_index(spark, ckpt_root=ckpt, **SCALE)
+    idx.placex.persist().count()
+    idx.search_name.persist().count()
+    return idx
+
+
+def _place_rows(spark, rows):
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = pd.Series([r.get("admin_level") for r in rows],
+                                   dtype=object)
+    return spark.createDataFrame(pdf, schema=PLACE_SCHEMA)
+
+
+def test_new_house_indexes_incrementally(spark, index):
+    cx, cy = synth.city_center(0)
+    y = cy - 0.1  # street 0 of city 0
+    updates = _place_rows(spark, [{
+        "osm_type": "N", "osm_id": 9100001, "class": "building",
+        "type": "yes", "admin_level": None, "name": {},
+        "address": {"housenumber": "99",
+                    "street": synth.street_name(0, 0)},
+        "extratags": {}, "geometry": point_wkb(cx + 0.01, y + 0.0005),
+        "categories": None,
+    }])
+    idx2 = apply_place_updates(spark, index, updates)
+    row = idx2.placex.filter("osm_id = 9100001").head()
+    assert row is not None
+    assert row.parent_place_id == 10000 * 4 + 1  # parented to Birch Street
+    q = spark.createDataFrame(
+        [("u1", f"{synth.street_name(0, 0)} 99, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx2, q).collect()
+    assert len(res) == 1 and res[0].osm_id == 9100001
+
+
+def test_delete_removes_place(spark, index):
+    deletes = spark.createDataFrame(
+        [("N", 100000)], "osm_type string, osm_id long"
+    )
+    empty = _place_rows(spark, [{
+        # a harmless far-away POI update so the batch is non-empty
+        "osm_type": "N", "osm_id": 9100002, "class": "amenity",
+        "type": "restaurant", "admin_level": None,
+        "name": {"name": "Cafe Nowhere"}, "address": {},
+        "extratags": {}, "geometry": point_wkb(10.5, 48.0),
+        "categories": None,
+    }])
+    idx2 = apply_place_updates(spark, index, empty, deletes=deletes)
+    assert idx2.placex.filter("osm_id = 100000").count() == 0
+    assert idx2.search_name.filter("osm_id = 100000").count() == 0
+    assert idx2.search_name.filter("osm_id = 9100002").count() == 1
+
+
+def test_boundary_update_rejected(spark, index):
+    updates = _place_rows(spark, [{
+        "osm_type": "R", "osm_id": 100, "class": "boundary",
+        "type": "administrative", "admin_level": 8,
+        "name": {"name": "Vels"}, "address": {}, "extratags": {},
+        "geometry": point_wkb(9.25, 47.25), "categories": None,
+    }])
+    with pytest.raises(ValueError, match="boundary"):
+        apply_place_updates(spark, index, updates)
+
+
+def test_street_rename_reindexes(spark, index):
+    """Renaming a street re-tokenizes it: the new name resolves, and its
+    existing houses (invalidated by the padded cover) keep their parent."""
+    cx, cy = synth.city_center(1)
+    y = cy - 0.1  # street 0 of city 1
+    from nominatim_spark.geometry.wkb import linestring_wkb
+
+    sid = 10000 + 1 * 100 + 0
+    updates = _place_rows(spark, [{
+        "osm_type": "W", "osm_id": sid, "class": "highway",
+        "type": "residential", "admin_level": None,
+        "name": {"name": "Renamed Boulevard"}, "address": {},
+        "extratags": {},
+        "geometry": linestring_wkb([(cx - 0.12, y), (cx + 0.12, y)]),
+        "categories": None,
+    }])
+    idx2 = apply_place_updates(spark, index, updates)
+    q = spark.createDataFrame(
+        [("r1", f"Renamed Boulevard, {synth.city_name(1)}")],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx2, q).collect()
+    assert len(res) == 1 and res[0].osm_id == sid
+    # houses along the street still have it as parent (re-parented, since
+    # their addr:street tag no longer matches the new name they fall back
+    # to the containing area OR keep the street through proximity; assert
+    # they are still present and parented)
+    house = idx2.placex.filter(f"osm_id = {1000000 + sid * 100}").head()
+    assert house is not None and house.parent_place_id is not None
