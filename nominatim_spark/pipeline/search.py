@@ -239,20 +239,34 @@ def score_hits(
         F.size(F.expr("filter(split(addr_norm, ' '), w -> w <> '')")),
     )
 
+    # apenalty rides the token rows end-to-end (recovered with first()
+    # inside the one necessary aggregation) — folding it at the end would
+    # cost an extra join over the full hits union
     name_toks = _token_ids(
-        q.select("query_id", "assign_id", "name_norm", "n_name_toks"),
+        q.select("query_id", "assign_id", "name_norm", "n_name_toks",
+                 "apenalty"),
         idx.word, "name_norm", "word_id",
     )
+    # pre-filter the posting table by the query batch's distinct token ids
+    # (a bounded vocabulary — broadcast semi-join) so the shuffle moves
+    # only matching postings instead of the full table; the variant-
+    # expanded index made the full-table shuffle the dominant cost
+    name_toks = name_toks.filter(F.col("word_id").isNotNull()).persist()
+    name_posts = idx.name_postings.join(
+        F.broadcast(name_toks.select("word_id").distinct()),
+        "word_id", "left_semi",
+    )
     name_hits = (
-        name_toks.filter(F.col("word_id").isNotNull())
-        .join(idx.name_postings, "word_id")
+        name_toks
+        .join(name_posts, "word_id")
         .groupBy("query_id", "assign_id", "place_id")
         .agg(
             F.count(F.lit(1)).alias("n_hit"),
             F.first("n_name_toks").alias("n_name_toks"),
+            F.first("apenalty").alias("apenalty"),
         )
         .filter(F.col("n_hit") == F.col("n_name_toks"))
-        .select("query_id", "assign_id", "place_id")
+        .select("query_id", "assign_id", "place_id", "apenalty")
     )
 
     # address lane (Restrict recheck, J3): every addr token must appear in
@@ -265,12 +279,14 @@ def score_hits(
         ),
         idx.word, "addr_norm", "word_id",
     )
+    addr_toks = addr_toks.filter(F.col("word_id").isNotNull()).persist()
+    addr_posts = idx.addr_postings.join(
+        F.broadcast(addr_toks.select("word_id").distinct()),
+        "word_id", "left_semi",
+    )
     addr_ok = (
-        name_hits.join(
-            addr_toks.filter(F.col("word_id").isNotNull()),
-            ["query_id", "assign_id"],
-        )
-        .join(idx.addr_postings, ["word_id", "place_id"], "left_semi")
+        name_hits.join(addr_toks, ["query_id", "assign_id"])
+        .join(addr_posts, ["word_id", "place_id"], "left_semi")
         .groupBy("query_id", "assign_id", "place_id")
         .agg(
             F.count(F.lit(1)).alias("n_addr_hit"),
@@ -288,7 +304,7 @@ def score_hits(
             (F.col("q_addr_toks") == 0)
             | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("q_addr_toks"))
         )
-        .select("query_id", "assign_id", "place_id")
+        .select("query_id", "assign_id", "place_id", "apenalty")
     )
 
     sn = idx.search_name.select(
@@ -363,7 +379,7 @@ def score_hits(
         F.col("h_lon").alias("lon"),
         F.col("h_lat").alias("lat"),
         F.col("hnr").alias("housenumber"),
-        F.lit(0.0).alias("penalty"),
+        F.col("apenalty").alias("penalty"),
         F.lit(0.0).alias("text_dist"),
     )
 
@@ -396,7 +412,7 @@ def score_hits(
                 F.col("mid_lon").alias("lon"),
                 F.col("mid_lat").alias("lat"),
                 F.col("hnr").alias("housenumber"),
-                F.lit(1.0).alias("penalty"),
+                (F.lit(1.0) + F.col("apenalty")).alias("penalty"),
                 F.lit(0.0).alias("text_dist"),
             )
         )
@@ -432,7 +448,7 @@ def score_hits(
             "class", "type", "rank_search", "rank_address", "importance",
             "lon", "lat",
             F.lit(None).cast("string").alias("housenumber"),
-            F.lit(0.0).alias("penalty"),
+            F.col("apenalty").alias("penalty"),
             "text_dist",
         )
     )
@@ -441,7 +457,7 @@ def score_hits(
         "query_id", "assign_id", "place_id", "osm_type", "osm_id", "class",
         "type", "rank_search", "rank_address", "importance", "lon", "lat",
         F.lit(None).cast("string").alias("housenumber"),
-        F.lit(2.0).alias("penalty"),
+        (F.lit(2.0) + F.col("apenalty")).alias("penalty"),
         F.lit(0.0).alias("text_dist"),
     )
 
@@ -453,7 +469,7 @@ def score_hits(
     # postcode-role assignments resolve against the postcode table
     if postcodes is not None:
         qp = q.filter(F.col("postcode").isNotNull()).select(
-            "query_id", "assign_id", "postcode"
+            "query_id", "assign_id", "postcode", "apenalty"
         )
         pc = postcodes.select(
             F.upper(F.col("postcode")).alias("postcode"),
@@ -480,7 +496,7 @@ def score_hits(
             F.col("pc_lon").alias("lon"),
             F.col("pc_lat").alias("lat"),
             F.lit(None).cast("string").alias("housenumber"),
-            F.lit(0.0).alias("penalty"),
+            F.col("apenalty").alias("penalty"),
             F.lit(0.0).alias("text_dist"),
         )
         all_hits = all_hits.unionByName(pc_hits)
@@ -497,14 +513,9 @@ def score_hits(
             F.col("penalty") + F.when(outside, F.lit(1.0)).otherwise(F.lit(0.0)),
         )
 
-    # fold in the assignment penalty (weigh_search analog: the cheapest
-    # assignment whose lanes matched wins, ranking.sql:327-345)
-    return all_hits.join(
-        q.select("query_id", "assign_id", "apenalty"),
-        ["query_id", "assign_id"],
-    ).withColumn("penalty", F.col("penalty") + F.col("apenalty")).drop(
-        "apenalty", "assign_id"
-    )
+    # penalty already folds the assignment penalty (weigh_search analog:
+    # the cheapest assignment whose lanes matched wins, ranking.sql:327-345)
+    return all_hits.drop("assign_id")
 
 
 def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:

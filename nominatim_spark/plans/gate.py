@@ -1029,6 +1029,56 @@ FROM orders GROUP BY o_custkey
 
 # ------------------------------------------------- geocoding pipeline (weak)
 
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-replay incremental index update (streaming/updates.py):
+    build a small index, merge a 2-row diff (new house + new POI) plus a
+    delete, geocode against the merged index.  Non-SQL-expressible —
+    rows-only check; merge semantics are asserted in tests/test_updates.py.
+    Expected rows: the new house resolves, the deleted POI is gone."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.wkb import point_wkb
+    from nominatim_spark.pipeline.search import geocode
+    from nominatim_spark.plans.flagship import build_synth_index
+    from nominatim_spark.sources import synth
+    from nominatim_spark.streaming.updates import apply_place_updates
+
+    idx, _ = build_synth_index(
+        spark, n_cities=2, n_streets=2, n_houses=2, n_pois=1,
+        ckpt_root="/tmp/nominatim_gate_upd_ckpt", resume=True,
+    )
+    cx, cy = synth.city_center(0)
+    y = cy - 0.1
+    upd_pdf = pd.DataFrame([{
+        "osm_type": "N", "osm_id": 9200001, "class": "building",
+        "type": "yes", "admin_level": None, "name": {},
+        "address": {"housenumber": "77", "street": synth.street_name(0, 0)},
+        "extratags": {}, "geometry": point_wkb(cx + 0.02, y + 0.0004),
+        "categories": None,
+    }, {
+        "osm_type": "N", "osm_id": 9200002, "class": "amenity",
+        "type": "restaurant", "admin_level": None,
+        "name": {"name": "Cafe Delta"}, "address": {},
+        "extratags": {}, "geometry": point_wkb(cx + 0.03, cy + 0.02),
+        "categories": None,
+    }])
+    upd_pdf["admin_level"] = pd.Series([None, None], dtype=object)
+    updates = spark.createDataFrame(upd_pdf, schema=synth.PLACE_SCHEMA)
+    deletes = spark.createDataFrame(
+        [("N", 100000)], "osm_type string, osm_id long"
+    )
+    idx2 = apply_place_updates(spark, idx, updates, deletes=deletes)
+    q = spark.createDataFrame(
+        [("new_house", f"{synth.street_name(0, 0)} 77, {synth.city_name(0)}"),
+         ("new_poi", f"Cafe Delta, {synth.city_name(0)}"),
+         ("deleted", f"{synth.poi_name(0, 0)}, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    return geocode(spark, idx2, q).select(
+        "query_id", "osm_type", "osm_id", "class", "type", "housenumber"
+    )
+
+
 def q_geocode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: synth pages -> extraction -> batch forward
     geocode against the engine-built index.  Non-SQL-expressible (full
@@ -1100,4 +1150,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "collect_sorted": (q_collect_sorted, Q_COLLECT_SQL),
     "geocode_pages_e2e": (q_geocode_pages, None),
     "reverse_geocode_e2e": (q_reverse_geocode, None),
+    "incremental_update_e2e": (q_incremental_update, None),
 }
