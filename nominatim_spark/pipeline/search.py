@@ -7,24 +7,32 @@ plan (db_search_builder.py), run penalty-ordered plans with early exit
 millions of extracted strings, so the per-query planner loop becomes one
 DataFrame DAG over all queries at once:
 
-1. parse: phrases split on ','; phrase 0 is the name (with optional
-   trailing housenumber), the rest are address qualifiers
+1. parse: every query explodes into its token-role ASSIGNMENTS
+   (token_assignment.py re-expression): comma-phrased queries keep one
+   aligned reading at penalty 0; un-phrased queries enumerate
+   forward/backward name–address splits, housenumber and postcode roles,
+   each with the reference's penalty constants
 2. tokenize: the same normalize→transliterate pipeline as the index side
+   (the INDEX side additionally expands abbreviation variants, so
+   "Birch St" matches without query-side expansion)
 3. name lane (LookupAll, J1): every name token must appear in the
    candidate's name_vector — posting equi-join + count == n_tokens
 4. address lane (Restrict, J3): every address token must appear in
    nameaddress_vector — second posting join + count
 5. housenumber lane (J13): name+address resolve a street; the housenumber
-   equi-joins the street's children, falling back to the interpolation
-   range join
-6. rank: importance desc (penalty 0 for exact AND-matches), deterministic
-   tie-break; top-1 per query
+   equi-joins the street's children (housenumber lists exploded), falling
+   back to the interpolation range join; postcode-role assignments join
+   the postcode table (PostcodeSearch)
+6. rank: lowest total penalty (lane + assignment + viewbox), then text
+   distance, importance desc, deterministic tie-break; top-1 per query
+   (geocode) or the adaptive-cut ranked list (geocode_all)
 
 Scale notes: the word table is broadcast (dictionary-sized); the posting
-joins shuffle on word_id where city-name tokens are hot — AQE skew handling
-plus the rare-token-first trim below (drop candidates early using the
-rarest token, the reference's CountedTokenIDs strategy,
-db_search_fields.py:36-57) keep the fan-out bounded.
+tables are pre-filtered by a broadcast semijoin against the query batch's
+DISTINCT token ids (bounded vocabulary) so the posting shuffle moves only
+matching rows — the batch analog of the reference's CountedTokenIDs
+rare-token planning (db_search_fields.py:36-57); AQE skew handling covers
+hot city-name tokens.
 """
 
 from __future__ import annotations

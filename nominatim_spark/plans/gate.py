@@ -819,6 +819,76 @@ SELECT doc_a, doc_b, cos_r FROM pairs WHERE cos_r >= 0.99
 """
 
 
+def q_ann_top1_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: nearest neighbor for EVERY vector via the banded
+    sign-LSH candidate join + exact cosine rerank (the IVF/LSH scale path
+    for batch similarity search — one query vector per row, never an
+    all-pairs product).  Over the augmented set (rescaled copies), each
+    original's true nearest is its exact-direction copy, which the bucket
+    join provably catches — so the LSH result equals the brute-force
+    oracle."""
+    from nominatim_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")
+        .alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(scaled)
+    pairs = embedding_neardup_lsh(
+        aug, threshold=0.99, n_planes=16, n_bands=2
+    )
+    # symmetrize, then best neighbor per ORIGINAL vector
+    sym = pairs.select("doc_a", "doc_b", "cos_r").unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"),
+            "cos_r",
+        )
+    ).filter(F.col("doc_a") < 100000)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("cos_r").desc(), F.col("doc_b")
+    )
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(F.col("doc_a").alias("vec_id"),
+                F.col("doc_b").alias("nn_id"), "cos_r")
+    )
+
+
+Q_ANN_TOP1_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_r
+  FROM aug a JOIN aug b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 100000 AND
+        ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) >= 0.99)
+SELECT vec_id, nn_id, cos_r FROM (
+  SELECT doc_a AS vec_id, doc_b AS nn_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY doc_a
+                            ORDER BY cos_r DESC, doc_b) AS rn
+  FROM pairs) t
+WHERE rn = 1
+"""
+
+
 def q_pip_cover_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully distributed point-in-polygon cover join (J5 at planet scale):
     polygon side stays a DataFrame, mapInPandas generates classified
@@ -1141,6 +1211,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_pairs": (q_ngram_jaccard, Q_JACCARD_SQL),
     "embed_neardup_pairs": (q_embed_neardup, Q_EMBED_NEARDUP_SQL),
     "embed_neardup_lsh": (q_embed_neardup_lsh, Q_EMBED_LSH_SQL),
+    "ann_top1_lsh": (q_ann_top1_lsh, Q_ANN_TOP1_SQL),
     "pip_cover_join_dist": (q_pip_cover_join_dist, Q_PIP_SQL),
     "near_category_join": (q_near_category, Q_NEAR_CATEGORY_SQL),
     "window_prune_epsilon": (q_window_prune, Q_WINDOW_PRUNE_SQL),
