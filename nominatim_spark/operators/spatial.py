@@ -499,6 +499,13 @@ def knn_join(
         )
         k *= 2
 
+    if not results:  # empty probe side: no rounds ran
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [], f"{point_key} {dict((f.name, f.dataType.simpleString()) for f in points.schema)[point_key]}, "
+                f"{cand_key} {dict((f.name, f.dataType.simpleString()) for f in candidates.schema)[cand_key]}, "
+                "dist2 double",
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

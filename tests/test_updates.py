@@ -85,6 +85,35 @@ def test_boundary_update_rejected(spark, index):
         apply_place_updates(spark, index, updates)
 
 
+def test_stream_place_updates(spark, index, tmp_path):
+    """Structured-Streaming diff replay: a file-sourced micro-batch of
+    place rows merges into the standing index via foreachBatch."""
+    from nominatim_spark.streaming.updates import stream_place_updates
+
+    cx, cy = synth.city_center(0)
+    y = cy - 0.1
+    upd = _place_rows(spark, [{
+        "osm_type": "N", "osm_id": 9300001, "class": "building",
+        "type": "yes", "admin_level": None, "name": {},
+        "address": {"housenumber": "55",
+                    "street": synth.street_name(0, 0)},
+        "extratags": {}, "geometry": point_wkb(cx - 0.02, y + 0.0003),
+        "categories": None,
+    }])
+    src = str(tmp_path / "diff_src")
+    upd.write.parquet(src)
+    stream = spark.readStream.schema(upd.schema).parquet(src)
+    idx_ref = {"idx": index}
+    q = stream_place_updates(
+        spark, stream, idx_ref, str(tmp_path / "stream_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    merged = idx_ref["idx"]
+    row = merged.placex.filter("osm_id = 9300001").head()
+    assert row is not None and row.parent_place_id == 10000 * 4 + 1
+
+
 def test_street_rename_reindexes(spark, index):
     """Renaming a street re-tokenizes it: the new name resolves, and its
     existing houses (invalidated by the padded cover) keep their parent."""
