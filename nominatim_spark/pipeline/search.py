@@ -82,9 +82,9 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
       (:374-381).
     """
     phrases = [p.strip() for p in (q or "").split(",") if p.strip()]
-    out: list[tuple[str, str | None, str, str | None, float]] = []
+    out: list[tuple[str, str | None, str, str | None, float, int]] = []
     if not phrases:
-        return [("", None, "", None, 0.0)]
+        return [("", None, "", None, 0.0, 0)]
 
     if len(phrases) > 1:
         name, hnr = phrases[0], None
@@ -92,28 +92,28 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
         if m and m.group(1).strip():
             name, hnr = m.group(1).strip(), m.group(2)
         addr = " ".join(norm_translit(p) for p in phrases[1:])
-        out.append((norm_translit(name), hnr, addr, None, 0.0))
+        out.append((norm_translit(name), hnr, addr, None, 0.0, 0))
         return out
 
     raw_toks = phrases[0].split()
     if len(raw_toks) == 1 and _PC_TOK.match(raw_toks[0]):
-        return [("", None, "", raw_toks[0], _P_POSTCODE)]
+        return [("", None, "", raw_toks[0], _P_POSTCODE, 0)]
     if len(raw_toks) > MAX_ASSIGN_TOKENS:
-        return [(norm_translit(phrases[0]), None, "", None, 0.0)]
+        return [(norm_translit(phrases[0]), None, "", None, 0.0, 0)]
 
     def emit(toks: list[str], hnr: str | None, base: float):
         n = len(toks)
         if n == 0:
             return
         norm = [norm_translit(t) for t in toks]
-        out.append((" ".join(norm), hnr, "", None, base))
+        out.append((" ".join(norm), hnr, "", None, base, 0))
         for i in range(1, n):
             # forward: name prefix, address suffix (:283-310)
             out.append((" ".join(norm[:i]), hnr, " ".join(norm[i:]),
-                        None, base + _P_SPLIT))
+                        None, base + _P_SPLIT, 1))
             # backward: address prefix, name suffix (:313-356)
             out.append((" ".join(norm[i:]), hnr, " ".join(norm[:i]),
-                        None, base + _P_SPLIT))
+                        None, base + _P_SPLIT, -1))
 
     digit_pos = [i for i, t in enumerate(raw_toks) if _DIGIT_TOK.match(t)]
     if digit_pos and len(raw_toks) > 1:
@@ -136,24 +136,31 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
 def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
     rows = []
     for pos, q in enumerate(qtext):
-        for aid, (name, hnr, addr, pc, pen) in enumerate(_assignments(q)):
-            rows.append((pos, aid, name, hnr, addr, pc, pen))
+        full = " ".join(
+            norm_translit(p.strip())
+            for p in (q or "").split(",") if p.strip()
+        )
+        for aid, (name, hnr, addr, pc, pen, dirn) in enumerate(
+                _assignments(q)):
+            rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
-                 "postcode", "apenalty"],
+                 "postcode", "apenalty", "adirection", "full_norm"],
     )
 
 
 def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
     """Explode each query into its role assignments: one row per
     (query, assignment) with name_norm / hnr / addr_norm / postcode /
-    apenalty columns.  Comma-phrased queries produce exactly one aligned
-    assignment (no fan-out on the flagship path)."""
+    apenalty / adirection columns (plus the full normalized query for the
+    direction-penalty stats).  Comma-phrased queries produce exactly one
+    aligned assignment (no fan-out on the flagship path)."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
-         ", postcode string, apenalty double")
+         ", postcode string, apenalty double, adirection int"
+         ", full_norm string")
 
     def run(batches):
         for pdf in batches:
@@ -166,6 +173,87 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
             )
 
     return queries.mapInPandas(run, schema=schema)
+
+
+# LINFAC normalization table (query.py:23-24)
+_LINFAC = [
+    i * (sum(si * si for si in range(i)) - (i - 1) * i * (i - 1) / 4)
+    for i in range(50)
+]
+
+
+def _fold_direction_penalty(q: DataFrame, word: DataFrame) -> DataFrame:
+    """Stats-driven direction penalty (query.py:333-346 + F14).
+
+    Each query token's name_address_ratio (name vs address posting counts,
+    query.py:233-240) is regressed over token position; the slope's sign
+    says whether the name reads first (forward) or last (backward), and
+    the opposing split assignments absorb it as extra penalty
+    (token_assignment.py's dir_penalty uses).  All-JVM: posexplode + one
+    broadcast dictionary join + one aggregation.
+    """
+    if "name_count" not in word.columns:
+        return q
+    spark = q.sparkSession
+    # only queries with split assignments can absorb the penalty — for
+    # comma-phrased workloads (the flagship path) there are none and the
+    # whole fold short-circuits (one cheap scan of the cached parse)
+    split_q = q.filter(F.col("adirection") != 0).select("query_id").distinct()
+    if split_q.isEmpty():
+        return q
+    toks = (
+        q.select("query_id", "full_norm").distinct()
+        .join(split_q, "query_id", "left_semi")
+        .select(
+            "query_id",
+            F.posexplode(
+                F.expr("filter(split(full_norm, ' '), w -> w <> '')")
+            ).alias("pos", "_tok"),
+        )
+    )
+    w = word.filter(F.col("type") == "w").select(
+        F.col("word_token").alias("_tok"),
+        F.when(
+            (F.col("name_count") + F.col("addr_count")) > 0,
+            F.col("name_count")
+            / (F.col("name_count") + F.col("addr_count")),
+        ).otherwise(F.lit(0.5)).alias("r"),
+    )
+    rt = toks.join(F.broadcast(w), "_tok", "left").withColumn(
+        "r", F.coalesce("r", F.lit(0.5))
+    )
+    stats = rt.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("r").alias("_sr"),
+        F.sum(F.col("pos") * F.col("r")).alias("_sir"),
+        F.max(F.when(F.col("pos") == 0, F.col("r"))).alias("_r0"),
+        F.max(F.when(F.col("pos") == 1, F.col("r"))).alias("_r1"),
+    )
+    lf = spark.createDataFrame(
+        [(i, float(_LINFAC[i])) for i in range(3, 50)], "_n long, _lf double"
+    )
+    dirp = stats.join(F.broadcast(lf), "_n", "left").select(
+        "query_id",
+        F.when(F.col("_n") <= 1, F.lit(0.0))
+        .when(F.col("_n") >= 50, F.lit(0.0))
+        .when(F.col("_n") == 2, (F.col("_r1") - F.col("_r0")) / 3)
+        .otherwise(
+            (F.col("_n") * F.col("_sir")
+             - F.col("_sr") * F.col("_n") * (F.col("_n") - 1) / 2)
+            / F.col("_lf")
+        ).alias("_dirpen"),
+    )
+    return q.join(dirp, "query_id", "left").withColumn(
+        "apenalty",
+        F.col("apenalty")
+        + F.when(
+            (F.col("adirection") == 1) & (F.col("_dirpen") > 0),
+            F.col("_dirpen"),
+        ).when(
+            (F.col("adirection") == -1) & (F.col("_dirpen") < 0),
+            -F.col("_dirpen"),
+        ).otherwise(F.lit(0.0)),
+    ).drop("_dirpen")
 
 
 def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
@@ -224,7 +312,11 @@ def score_hits(
     results outside it (+1.0); ``layers`` restricts candidate classes
     (DataLayer analog, keys of LAYER_CLASSES); ``excluded_place_ids``
     drops specific places (P4)."""
-    q = parse_queries(queries, text_col).persist()
+    # persist the parsed assignments BEFORE the direction fold — the fold
+    # reads the parse output three times (split filter, token explode,
+    # main flow) and the Python parse must run exactly once
+    parsed = parse_queries(queries, text_col).persist()
+    q = _fold_direction_penalty(parsed, idx.word).persist()
 
     # ---- name lane first, THEN address recheck on the candidates only.
     # This two-phase order is load-bearing at scale: name tokens are

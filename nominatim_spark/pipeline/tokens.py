@@ -222,6 +222,32 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         .distinct()
     )
 
+    # per-token name/address occurrence stats (the reference's
+    # Token.count/addr_count feeding name_address_ratio, query.py:233-240
+    # — used by the direction penalty and available to lookup planning)
+    name_counts = name_post.groupBy("word_id").agg(
+        F.count(F.lit(1)).alias("name_count")
+    )
+    addr_totals = addr_post.groupBy("word_id").agg(
+        F.count(F.lit(1)).alias("_addr_total")
+    )
+    word = (
+        word.join(name_counts, "word_id", "left")
+        .join(addr_totals, "word_id", "left")
+        .withColumn("name_count", F.coalesce("name_count", F.lit(0)))
+        .withColumn(
+            # addr_post unions name_post, so address-only occurrences are
+            # the difference
+            "addr_count",
+            F.greatest(
+                F.coalesce("_addr_total", F.lit(0)) - F.col("name_count"),
+                F.lit(0),
+            ),
+        )
+        .drop("_addr_total")
+        .persist()
+    )
+
     name_vec = name_post.groupBy("place_id").agg(
         F.sort_array(F.collect_list("word_id")).alias("name_vector")
     )

@@ -195,6 +195,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (§2.9 companion —
+    the batch form of session windows: a >30-minute silence starts a new
+    session).  lag window + cumulative sum of boundaries; per session:
+    event count, span seconds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epoch arithmetic: both engines carry the same
+    # int64 micros, so boundaries and spans are bit-identical
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull()
+             | (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(_prev AS TIMESTAMP))")
+                > 1800 * 1_000_000)).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("unix_micros(CAST(MAX(ts) AS TIMESTAMP))"
+               " - unix_micros(CAST(MIN(ts) AS TIMESTAMP))").alias("span_us"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 # ------------------------------------------------------------------- spatial
 
 _CELL_RES = 5
@@ -1193,6 +1242,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semi_join_has_f_order": (q_semi_join, Q_SEMI_SQL),
     "topk_per_group": (q_topk_per_group, Q_TOPK_SQL),
     "events_tumbling_window": (q_events_window, Q_EVENTS_SQL),
+    "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "cell_assign": (q_cell_assign, Q_CELL_SQL),
     "pip_cover_join": (q_pip_cover_join, Q_PIP_SQL),
     "knn_reverse": (q_knn_reverse, Q_KNN_SQL),

@@ -29,7 +29,7 @@ def _by_roles(assigns):
 def test_comma_query_single_assignment():
     a = _assignments("Birch Street 3, Vels")
     assert len(a) == 1
-    name, hnr, addr, pc, pen = a[0]
+    name, hnr, addr, pc, pen, dirn = a[0]
     assert (name, hnr, addr, pen) == ("birch street", "3", "vels", 0.0)
 
 
@@ -57,7 +57,7 @@ def test_leading_housenumber_penalized():
 
 def test_postcode_only_assignment():
     a = _assignments("47000")
-    assert a == [("", None, "", "47000", pytest.approx(0.1))]
+    assert a == [("", None, "", "47000", pytest.approx(0.1), 0)]
 
 
 def test_geocode_unphrased_queries(spark, index):
@@ -77,6 +77,29 @@ def test_geocode_unphrased_queries(spark, index):
     assert res["h1"].osm_type == "N"
     assert (res["c1"].osm_type, res["c1"].osm_id) == ("R", 101)
     del street_pid
+
+
+def test_direction_penalty_disambiguates(spark, index):
+    """F14 (query.py:333-346): token name/address stats regress over
+    position; 'Vels Birch Street' reads backward (city token is addressy,
+    street tokens are namier), so the forward split ('vels' as name) pays
+    the direction penalty on top of the split penalty."""
+    from nominatim_spark.pipeline.search import (
+        _fold_direction_penalty, parse_queries)
+
+    idx, _ = index
+    q = spark.createDataFrame(
+        [("d1", f"{synth.city_name(0)} {synth.street_name(0, 0)}")],
+        "query_id string, qtext string",
+    )
+    folded = _fold_direction_penalty(parse_queries(q), idx.word)
+    pens = {
+        (r.name_norm, r.adirection): r.apenalty for r in folded.collect()
+    }
+    fwd = pens[("vels", 1)]                # 'vels' as name (forward)
+    bwd = pens[("birch street", -1)]       # 'birch street' as name
+    assert fwd > bwd
+    assert bwd == pytest.approx(0.1)       # backward matches the trend
 
 
 def test_search_knobs(spark, index):
