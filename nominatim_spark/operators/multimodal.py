@@ -17,6 +17,8 @@ Operators:
                                   (mapInPandas; stubbed decode)
 * :func:`audio_frame_sample`    — decode -> fixed-rate frame sampling
                                   (stubbed decode)
+* :func:`video_frame_sample`    — demux -> every-Nth-frame sampling ->
+                                  per-frame image features (stubbed demux)
 
 Scale notes: media rows are huge — callers should repartition by
 ``spark.sql.files.maxPartitionBytes``-sized inputs and keep
@@ -181,3 +183,71 @@ def audio_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+
+
+def _decode_video(data: bytes, *, fake: bool) -> list[np.ndarray]:
+    """STUB: returns a list of HxWx3 uint8 frames.  Real implementation:
+    pyav/ffmpeg (not in this container).  fake: a deterministic 12-frame
+    sequence of 8x8x3 grids chained from the content hash."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs unavailable in this environment; pass fake=True "
+            "or plug pyav into _decode_video"
+        )
+    frames = []
+    h = hashlib.sha256(data).digest()
+    for _ in range(12):
+        grid = np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
+        frames.append(grid.reshape(8, 8, 3).copy())
+        h = hashlib.sha256(h).digest()
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "key string, frame_idx int, n_frames int, feat array<float>"
+)
+
+
+def video_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
+                       every_n: int = 4, fake_decode: bool = True) -> DataFrame:
+    """demux -> keep every Nth frame -> 4x4 mean-pool feature per frame.
+
+    One output row per sampled frame (the shape a video-captioning /
+    frame-dedup pipeline consumes); frame features reuse the image pooling
+    math, so plugging a real demuxer into :func:`_decode_video` is the
+    only change needed.
+    """
+
+    def pool(img: np.ndarray) -> list[float]:
+        h, w, _ = img.shape
+        ch, cw = max(h - h % 4, 4), max(w - w % 4, 4)
+        img4 = img[:ch, :cw]
+        if img4.shape[0] < 4 or img4.shape[1] < 4:
+            img4 = np.pad(img4, ((0, 4 - img4.shape[0]),
+                                 (0, 4 - img4.shape[1]), (0, 0)),
+                          mode="edge")
+            ch, cw = 4, 4
+        pooled = img4.reshape(4, ch // 4, 4, cw // 4, 3).mean(axis=(1, 3))
+        return (pooled.reshape(-1) / 255.0).astype(np.float32).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"key": [], "frame_idx": [], "n_frames": [], "feat": []}
+            for k, b in zip(pdf[key], pdf[col]):
+                frames = _decode_video(bytes(b), fake=fake_decode)
+                for i in range(0, len(frames), every_n):
+                    out["key"].append(k)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["feat"].append(pool(frames[i]))
+            if not out["key"]:
+                yield pd.DataFrame(
+                    {"key": pd.Series(dtype="object"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "n_frames": pd.Series(dtype="int32"),
+                     "feat": pd.Series(dtype="object")}
+                )
+            else:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

@@ -51,3 +51,30 @@ def test_real_decode_is_explicit_stub(spark, media):
     with _pt.raises(Exception) as ei:
         mm.image_features(media.limit(1), fake_decode=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codecs unavailable" in str(ei.value)
+
+
+def test_video_frame_sampling(spark, media):
+    from nominatim_spark.operators.multimodal import video_frame_sample
+
+    out = video_frame_sample(media, every_n=4).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    # 12 fake frames, every 4th -> indices 0, 4, 8
+    for rows in by_key.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 4, 8]
+        assert all(r.n_frames == 12 for r in rows)
+        assert all(len(r.feat) == 48 for r in rows)
+    # deterministic: same content -> same features
+    again = video_frame_sample(media, every_n=4).collect()
+    assert {(r.key, r.frame_idx, tuple(r.feat)) for r in out} == \
+           {(r.key, r.frame_idx, tuple(r.feat)) for r in again}
+
+
+def test_video_real_decode_is_explicit_stub(spark, media):
+    import pytest as _pytest
+
+    from nominatim_spark.operators.multimodal import video_frame_sample
+
+    with _pytest.raises(Exception, match="NotImplementedError|video codecs"):
+        video_frame_sample(media, fake_decode=False).collect()
