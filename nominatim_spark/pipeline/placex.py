@@ -308,7 +308,8 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- stage D
 
 def assign_parents(placex: DataFrame,
-                   assoc_members: pd.DataFrame | None = None) -> DataFrame:
+                   assoc_members: pd.DataFrame | None = None,
+                   way_nodes: DataFrame | None = None) -> DataFrame:
     """parent_place_id (placex_triggers.sql find_parent_for_poi :191-268 +
     addressable-area parenting).
 
@@ -322,9 +323,12 @@ def assign_parents(placex: DataFrame,
       name matches, searched via street-cover-cell equi-join (the reference's
       0.015-degree box, partition-functions.sql:150-178); addr:place variant
       against named places
+    * POI nodes that are members of a street way parent to that way
+      (J11, find_parent_for_poi :213-231) when no tag lane matched
     * remaining POIs: nearest road by point-to-segment distance
 
     ``assoc_members``: (relation_id, member_type, member_id, role) rows.
+    ``way_nodes``: (way_id, nodes array<long>) membership rows.
     """
     from nominatim_spark.functions.text import norm_translit
 
@@ -492,12 +496,46 @@ def assign_parents(placex: DataFrame,
         .select("place_id", F.col("pl_id").alias("parent_place_id"))
     )
 
+    # --- lane J11: a POI node that is a member of a street way parents to
+    # that way (find_parent_for_poi :213-231 "Way IS a road then we are on
+    # it") — ranked below the tag lanes, above the area fallback
+    if way_nodes is not None:
+        streets_only = placex.filter(
+            F.col("rank_search").between(26, 27)
+        ).select((F.col("place_id")).alias("parent_place_id"))
+        poi_nodes = placex.filter(
+            (F.col("rank_search") >= 28) & (F.col("osm_type") == "N")
+        ).select("place_id")
+        member_parent = (
+            way_nodes.select(
+                (F.col("way_id") * 4 + 1).alias("parent_place_id"),
+                F.explode("nodes").alias("_node_osm"),
+            )
+            .withColumn("place_id", F.col("_node_osm") * 4)
+            .join(poi_nodes, "place_id", "left_semi")
+            .join(streets_only, "parent_place_id", "left_semi")
+            .groupBy("place_id")
+            .agg(F.min("parent_place_id").alias("parent_place_id"))
+        )
+        member_parent = (
+            member_parent
+            .join(assoc_parent.select("place_id"), "place_id", "left_anti")
+            .join(poi_parent.select("place_id"), "place_id", "left_anti")
+            .join(place_parent.select("place_id"), "place_id", "left_anti")
+        )
+    else:
+        member_parent = spark.createDataFrame(
+            pd.DataFrame(columns=["place_id", "parent_place_id"]),
+            "place_id long, parent_place_id long",
+        )
+
     # POIs without street/place tag — or whose matches found nothing —
     # fall back to the containing area (find_parent_for_poi last resort)
     matched_so_far = (
         poi_parent.select("place_id")
         .unionByName(place_parent.select("place_id"))
         .unionByName(assoc_parent.select("place_id"))
+        .unionByName(member_parent.select("place_id"))
     )
     rest_parent = (
         area_hits.filter(F.col("rank_search") >= 28)
@@ -523,6 +561,7 @@ def assign_parents(placex: DataFrame,
         assoc_parent.unionByName(low_parent)
         .unionByName(poi_parent)
         .unionByName(place_parent)
+        .unionByName(member_parent)
         .unionByName(rest_parent)
     )
     # one parent per place (street / place / fallback lanes are disjoint
@@ -544,7 +583,8 @@ class IndexTables:
 def build_placex(place: DataFrame, ckpt_root: str | None = None,
                  resume: bool = False,
                  assoc_members: pd.DataFrame | None = None,
-                 label_members: pd.DataFrame | None = None) -> DataFrame:
+                 label_members: pd.DataFrame | None = None,
+                 way_nodes: DataFrame | None = None) -> DataFrame:
     """place -> fully ranked & parented placex, checkpointed per stage.
 
     Each stage materializes to parquet with a lineage manifest
@@ -576,7 +616,7 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
     )
     df3 = stage("placex_adjusted", lambda: adjust_ranks(df2), ["placex_ranked"])
     df4 = stage("placex_parented", lambda: assign_parents(
-        df3, assoc_members=assoc_members
+        df3, assoc_members=assoc_members, way_nodes=way_nodes
     ).withColumn(
         # default importance (importance.sql:146-206 fallback formula)
         "importance", F.lit(0.40001) - F.col("rank_search") / F.lit(75.0)
@@ -599,7 +639,8 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
 def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
                 resume: bool = False,
                 assoc_members: pd.DataFrame | None = None,
-                label_members: pd.DataFrame | None = None) -> IndexTables:
+                label_members: pd.DataFrame | None = None,
+                way_nodes: DataFrame | None = None) -> IndexTables:
     import tempfile
 
     from nominatim_spark.io.checkpoint import checkpoint
@@ -609,7 +650,8 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
         ckpt_root = tempfile.mkdtemp(prefix="nominatim_spark_ckpt_")
     placex = build_placex(place, ckpt_root, resume=resume,
                           assoc_members=assoc_members,
-                          label_members=label_members)
+                          label_members=label_members,
+                          way_nodes=way_nodes)
     idx = build_search_tables(spark, placex)
     word = checkpoint(idx.word, ckpt_root, "word", inputs=["placex"])
     name_post = checkpoint(idx.name_postings, ckpt_root, "name_postings",

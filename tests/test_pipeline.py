@@ -211,3 +211,54 @@ def test_associated_street_parenting(spark, index):
     )
     res = geocode(spark, idx, q, osmline=osmline).collect()
     assert len(res) == 1 and res[0].osm_id == 7000001  # hnr 102 = house k=1
+
+
+def test_way_node_membership_parenting(spark, tmp_path_factory):
+    """J11 (find_parent_for_poi:213-231): a tagless POI node that is a
+    member of a street way parents to that way — and the membership lane
+    loses to addr:street when both apply."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.wkb import (
+        box_wkb, linestring_wkb, point_wkb)
+    from nominatim_spark.pipeline.placex import build_index
+    from nominatim_spark.sources.synth import PLACE_SCHEMA
+
+    cx, cy = 9.5, 47.5
+    rows = [
+        {"osm_type": "R", "osm_id": 700, "class": "boundary",
+         "type": "administrative", "admin_level": 8,
+         "name": {"name": "Waytown"}, "address": {}, "extratags": {},
+         "geometry": box_wkb(cx - 0.2, cy - 0.2, cx + 0.2, cy + 0.2),
+         "categories": ["osm.boundary.administrative", "osm.place.city"]},
+        {"osm_type": "W", "osm_id": 710, "class": "highway",
+         "type": "residential", "admin_level": None,
+         "name": {"name": "Member Road"}, "address": {}, "extratags": {},
+         "geometry": linestring_wkb([(cx - 0.1, cy), (cx + 0.1, cy)]),
+         "categories": None},
+        # tagless node, member of way 710 -> J11 lane
+        {"osm_type": "N", "osm_id": 720, "class": "amenity",
+         "type": "restaurant", "admin_level": None, "name": {},
+         "address": {}, "extratags": {},
+         "geometry": point_wkb(cx, cy + 0.0005), "categories": None},
+        # node with addr:street AND membership: the tag lane must win
+        {"osm_type": "N", "osm_id": 721, "class": "building",
+         "type": "yes", "admin_level": None, "name": {},
+         "address": {"housenumber": "1", "street": "Member Road"},
+         "extratags": {},
+         "geometry": point_wkb(cx + 0.01, cy + 0.0005), "categories": None},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = pd.Series(
+        [r.get("admin_level") for r in rows], dtype=object
+    )
+    place = spark.createDataFrame(pdf, schema=PLACE_SCHEMA)
+    way_nodes = spark.createDataFrame(
+        [(710, [720, 721])], "way_id long, nodes array<long>"
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_waynode"))
+    idx = build_index(spark, place, ckpt_root=ckpt, way_nodes=way_nodes)
+    px = {r.osm_id: r for r in idx.placex.collect()}
+    street_pid = 710 * 4 + 1
+    assert px[720].parent_place_id == street_pid  # membership lane
+    assert px[721].parent_place_id == street_pid  # tag lane (same street)
