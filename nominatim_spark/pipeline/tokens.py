@@ -86,21 +86,18 @@ canon_hnrs_udf = F.pandas_udf(
 )
 
 
-def build_search_tables(spark, placex: DataFrame) -> IndexTables:
+def tokenize_places(placex: DataFrame) -> DataFrame:
+    """placex -> placex + sanitizer/normalization/variant columns.
+
+    Sanitizer chain (§2.10: split-name-list, strip-brace-terms,
+    clean-names, clean-housenumbers) -> _names/_hnrs arrays, then
+    normalization and variant expansion (abbreviation trie + mutations,
+    generic.py:58-143) — the index carries every spelling variant so
+    single-form queries ("Birch St") match.  Row-local — safe to run on
+    any subset (the incremental path tokenizes only the diff)."""
     from nominatim_spark.pipeline.sanitizers import apply_sanitizers
 
-    # linked label nodes are excluded from the search index — the P5 guard
-    # (linked_place_id IS NULL, place_search.py:182-183); their boundary
-    # carries the searchable entry
-    if "linked_place_id" in placex.columns:
-        placex = placex.filter(F.col("linked_place_id").isNull())
-
-    # ---- sanitizer chain (§2.10: split-name-list, strip-brace-terms,
-    # clean-names, clean-housenumbers) -> _names/_hnrs arrays, then
-    # normalization and variant expansion (abbreviation trie + mutations,
-    # generic.py:58-143) — the index carries every spelling variant so
-    # single-form queries ("Birch St") match
-    named = apply_sanitizers(placex).withColumn(
+    return apply_sanitizers(placex).withColumn(
         "norm_names", norm_names_udf(F.col("_names"))
     ).withColumn(
         "var_names", variants_udf(F.col("norm_names"))
@@ -112,16 +109,16 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         "housenumber", F.expr("try_element_at(housenumbers, 1)")
     ).drop("_names", "_hnrs")
 
-    # ---- ancestor areas (address terms): covering areas rank_address 1..25
-    # — fully distributed PiP cover join (the area table scales with the
-    # planet; the name rides the join as a carry column)
-    areas = named.filter(
-        (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
-    ).select(
-        F.col("place_id").alias("anc_id"),
-        F.col("norm_name").alias("anc_name"),
-        "geometry",
-    )
+
+def place_terms(named: DataFrame, areas: DataFrame,
+                parent_names: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-place (name_terms, addr_terms) for the rows of ``named``.
+
+    ``areas``: (anc_id, anc_name, geometry) candidate ancestor polygons.
+    ``parent_names``: (parent_place_id, parent_vars) street-name variants.
+    Both are CONTEXT tables — pass the full sets for a full build, or the
+    standing index's for an incremental one.
+    """
     ancestors = point_in_polygon_join_dist(
         named.select("place_id", "lon", "lat"),
         areas,
@@ -130,16 +127,8 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
     ).filter(F.col("anc_id") != F.col("place_id")).select(
         "place_id", "anc_id", "anc_name"
     )
-
-    # parent street contributes its name variants to POI/house address
-    # terms (create_poi_search_terms, placex_triggers.sql:394-484)
-    parent_names = named.select(
-        F.col("place_id").alias("parent_place_id"),
-        F.col("var_names").alias("parent_vars"),
-    )
     with_parent = named.join(parent_names, "parent_place_id", "left")
 
-    # ---- token strings per place
     # name terms: every variant contributes its full form (W) + words (w)
     name_terms = (
         named.filter(F.size("var_names") > 0)
@@ -168,7 +157,8 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
     name_terms = name_terms.unionByName(hnr_terms)
 
     # address terms: ancestor-area words + parent street variant words +
-    # own variant words
+    # own variant words (create_poi_search_terms,
+    # placex_triggers.sql:394-484)
     addr_sources = (
         ancestors.select("place_id", F.col("anc_name").alias("src_name"))
         .unionByName(
@@ -187,6 +177,48 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
             F.transform(F.split("src_name", " "), lambda t: F.concat(F.lit("w:"), t))
         ).alias("term"),
     ).filter(F.col("term") != "w:").distinct()
+    return name_terms, addr_terms
+
+
+def _word_stats(word: DataFrame, name_post: DataFrame,
+                addr_post: DataFrame) -> DataFrame:
+    """Attach per-token name/address occurrence counts (the reference's
+    Token.count/addr_count feeding name_address_ratio, query.py:233-240)."""
+    name_counts = name_post.groupBy("word_id").agg(
+        F.count(F.lit(1)).alias("name_count")
+    )
+    addr_totals = addr_post.groupBy("word_id").agg(
+        F.count(F.lit(1)).alias("_addr_total")
+    )
+    return (
+        word.drop("name_count", "addr_count")
+        .join(name_counts, "word_id", "left")
+        .join(addr_totals, "word_id", "left")
+        .withColumn("name_count", F.coalesce("name_count", F.lit(0)))
+        .withColumn(
+            # addr_post unions name_post, so address-only occurrences are
+            # the difference
+            "addr_count",
+            F.greatest(
+                F.coalesce("_addr_total", F.lit(0)) - F.col("name_count"),
+                F.lit(0),
+            ),
+        )
+        .drop("_addr_total")
+    )
+
+
+def build_search_tables(spark, placex: DataFrame) -> IndexTables:
+    # linked label nodes are excluded from the search index — the P5 guard
+    # (linked_place_id IS NULL, place_search.py:182-183); their boundary
+    # carries the searchable entry
+    if "linked_place_id" in placex.columns:
+        placex = placex.filter(F.col("linked_place_id").isNull())
+
+    named = tokenize_places(placex)
+    name_terms, addr_terms = place_terms(
+        named, _area_context_from(named), _parent_context_from(named)
+    )
 
     # ---- word table: dense deterministic ids via zipWithIndex over the
     # globally sorted distinct terms (range-partitioned sort keeps every
@@ -222,50 +254,11 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         .distinct()
     )
 
-    # per-token name/address occurrence stats (the reference's
-    # Token.count/addr_count feeding name_address_ratio, query.py:233-240
-    # — used by the direction penalty and available to lookup planning)
-    name_counts = name_post.groupBy("word_id").agg(
-        F.count(F.lit(1)).alias("name_count")
-    )
-    addr_totals = addr_post.groupBy("word_id").agg(
-        F.count(F.lit(1)).alias("_addr_total")
-    )
-    word = (
-        word.join(name_counts, "word_id", "left")
-        .join(addr_totals, "word_id", "left")
-        .withColumn("name_count", F.coalesce("name_count", F.lit(0)))
-        .withColumn(
-            # addr_post unions name_post, so address-only occurrences are
-            # the difference
-            "addr_count",
-            F.greatest(
-                F.coalesce("_addr_total", F.lit(0)) - F.col("name_count"),
-                F.lit(0),
-            ),
-        )
-        .drop("_addr_total")
-        .persist()
-    )
+    # per-token name/address occurrence stats — used by the direction
+    # penalty and available to lookup planning
+    word = _word_stats(word, name_post, addr_post).persist()
 
-    name_vec = name_post.groupBy("place_id").agg(
-        F.sort_array(F.collect_list("word_id")).alias("name_vector")
-    )
-    addr_vec = addr_post.groupBy("place_id").agg(
-        F.sort_array(F.collect_list("word_id")).alias("nameaddress_vector")
-    )
-
-    search_name = (
-        named.select(
-            "place_id", "osm_type", "osm_id", "class", "type", "norm_name",
-            "housenumber", "housenumbers", "parent_place_id", "rank_search",
-            "rank_address", "country_code", "partition", "importance",
-            "lon", "lat", "cell",
-        )
-        .join(name_vec, "place_id", "left")
-        .join(addr_vec, "place_id", "left")
-        .filter(F.col("name_vector").isNotNull())
-    )
+    search_name = _search_name_rows(named, name_post, addr_post)
 
     return IndexTables(
         placex=named,
@@ -273,4 +266,143 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         word=word,
         name_postings=name_post,
         addr_postings=addr_post,
+    )
+
+
+SEARCH_NAME_BASE_COLS = [
+    "place_id", "osm_type", "osm_id", "class", "type", "norm_name",
+    "housenumber", "housenumbers", "parent_place_id", "rank_search",
+    "rank_address", "country_code", "partition", "importance",
+    "lon", "lat", "cell",
+]
+
+
+def _search_name_rows(named: DataFrame, name_post: DataFrame,
+                      addr_post: DataFrame) -> DataFrame:
+    name_vec = name_post.groupBy("place_id").agg(
+        F.sort_array(F.collect_list("word_id")).alias("name_vector")
+    )
+    addr_vec = addr_post.groupBy("place_id").agg(
+        F.sort_array(F.collect_list("word_id")).alias("nameaddress_vector")
+    )
+    return (
+        named.select(*SEARCH_NAME_BASE_COLS)
+        .join(name_vec, "place_id", "left")
+        .join(addr_vec, "place_id", "left")
+        .filter(F.col("name_vector").isNotNull())
+    )
+
+
+def incremental_search_tables(spark, idx: IndexTables, redo: DataFrame,
+                              replace_ids: DataFrame,
+                              survivors: DataFrame) -> IndexTables:
+    """Diff-proportional search-table merge (the token side of diff
+    replay — the reference re-tokenizes exactly the dirty rows,
+    indexer.py's reindex loop).
+
+    ``redo``: raw place-schema rows to (re-)tokenize (already parented).
+    ``replace_ids``: (place_id) whose index entries must be dropped
+    (updated ∪ deleted ∪ invalidated).
+    ``survivors``: the tokenized standing placex rows that remain.
+
+    Every step is diff-proportional: tokenization runs on ``redo`` only;
+    the ancestor/parent CONTEXT comes from the standing tokenized rows
+    plus the diff itself; only genuinely new terms append to the word
+    table (ids continue after the current max — deterministic given the
+    same diff sequence, though not identical to a fresh full build);
+    postings/search_name merge by anti-join + union.  Token stats are
+    re-aggregated from the merged postings (pure counts, shuffle-light).
+    """
+    named_redo = tokenize_places(redo)
+
+    # context = standing tokenized rows ∪ the freshly tokenized diff (a
+    # new street in the same diff can parent a new house)
+    ctx_cols = ["place_id", "norm_name", "var_names", "extended_type",
+                "rank_address", "geometry"]
+    context = survivors.select(*ctx_cols).unionByName(
+        named_redo.select(*ctx_cols)
+    )
+    name_terms, addr_terms = place_terms(
+        named_redo, _area_context_from(context), _parent_context_from(context)
+    )
+
+    # ---- word merge: append only genuinely new terms
+    old_word = idx.word
+    new_terms = (
+        name_terms.select("term").unionByName(addr_terms.select("term"))
+        .distinct()
+        .join(old_word.select("term"), "term", "left_anti")
+    )
+    max_id = old_word.agg(F.max("word_id")).head()[0] or 0
+    appended = (
+        new_terms.sort("term")
+        .rdd.map(lambda r: r.term)
+        .zipWithIndex()
+        .map(lambda ti: (ti[1] + 1 + max_id, ti[0]))
+    )
+    word_cols = ["word_id", "word_token", "type", "term"]
+    if appended.isEmpty():
+        word = old_word.select(*word_cols)
+    else:
+        new_word = spark.createDataFrame(
+            appended, "word_id long, term string"
+        ).select(
+            "word_id",
+            F.substring("term", 3, 10000).alias("word_token"),
+            F.substring("term", 1, 1).alias("type"),
+            F.col("term"),
+        )
+        word = old_word.select(*word_cols).unionByName(new_word)
+    word = word.persist()
+
+    # ---- postings merge
+    redo_name_post = (
+        name_terms.join(word.select("term", "word_id"), "term")
+        .select("place_id", "word_id").distinct()
+    )
+    redo_addr_post = (
+        addr_terms.join(word.select("term", "word_id"), "term")
+        .select("place_id", "word_id")
+        .unionByName(redo_name_post)
+        .distinct()
+    )
+    name_post = idx.name_postings.join(
+        replace_ids, "place_id", "left_anti"
+    ).unionByName(redo_name_post)
+    addr_post = idx.addr_postings.join(
+        replace_ids, "place_id", "left_anti"
+    ).unionByName(redo_addr_post)
+
+    word = _word_stats(word, name_post, addr_post).persist()
+
+    # ---- search_name merge
+    redo_sn = _search_name_rows(named_redo, redo_name_post, redo_addr_post)
+    search_name = idx.search_name.join(
+        replace_ids, "place_id", "left_anti"
+    ).unionByName(redo_sn.select(idx.search_name.columns))
+
+    placex = survivors.unionByName(named_redo.select(survivors.columns))
+    return IndexTables(
+        placex=placex,
+        search_name=search_name,
+        word=word,
+        name_postings=name_post,
+        addr_postings=addr_post,
+    )
+
+
+def _area_context_from(ctx: DataFrame) -> DataFrame:
+    return ctx.filter(
+        (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
+    ).select(
+        F.col("place_id").alias("anc_id"),
+        F.col("norm_name").alias("anc_name"),
+        "geometry",
+    )
+
+
+def _parent_context_from(ctx: DataFrame) -> DataFrame:
+    return ctx.select(
+        F.col("place_id").alias("parent_place_id"),
+        F.col("var_names").alias("parent_vars"),
     )

@@ -55,7 +55,7 @@ def apply_place_updates(
     ``ValueError`` on admin-boundary updates — callers fall back to the
     full build (see module docstring).
     """
-    from nominatim_spark.pipeline.tokens import build_search_tables
+    from nominatim_spark.pipeline.tokens import incremental_search_tables
 
     if _is_boundary_update(updates):
         raise ValueError(
@@ -136,24 +136,25 @@ def apply_place_updates(
             F.lit(0.40001) - F.col("rank_search") / F.lit(75.0),
         ),
     ).withColumn("linked_place_id", F.lit(None).cast("long"))
+    redone = redone.localCheckpoint()
 
-    new_placex = survivors.unionByName(redone.select(survivors.columns))
-    new_placex = new_placex.localCheckpoint()
-
-    # ---- rebuild the search tables over the merged placex.  Token state
-    # is derived (no cross-place coupling except word ids); rebuilding
-    # from the merged placex keeps ids deterministic.  At planet scale
-    # the same call runs over the merged checkpoint — the placex merge
-    # above (the expensive invalidation geometry work) stays
-    # diff-proportional, the token re-derive is a full but cheap
-    # (shuffle-light, all JVM) pass.
-    tables = build_search_tables(spark, new_placex)
+    # ---- diff-proportional token merge (incremental_search_tables):
+    # only the redone rows re-tokenize; genuinely new terms append to the
+    # word table; postings/search_name merge by anti-join + union.  Every
+    # table is localCheckpointed so a long stream of micro-batches never
+    # accumulates lineage.
+    replace_ids = (
+        drop_ids.unionByName(invalidated.select("place_id")).distinct()
+    )
+    tables = incremental_search_tables(
+        spark, idx, redone.select(survivors.columns), replace_ids, survivors
+    )
     return IndexTables(
-        placex=tables.placex,
+        placex=tables.placex.localCheckpoint(),
         search_name=tables.search_name.localCheckpoint(),
-        word=tables.word,
-        name_postings=tables.name_postings,
-        addr_postings=tables.addr_postings,
+        word=tables.word.localCheckpoint(),
+        name_postings=tables.name_postings.localCheckpoint(),
+        addr_postings=tables.addr_postings.localCheckpoint(),
     )
 
 
