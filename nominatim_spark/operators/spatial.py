@@ -32,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from nominatim_spark import grid
 from nominatim_spark.geometry import ops, wkb

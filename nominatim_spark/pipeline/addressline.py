@@ -17,7 +17,6 @@ placex_triggers.sql:504-654) and the address-details join for display
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

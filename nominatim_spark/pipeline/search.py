@@ -42,7 +42,6 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from nominatim_spark.functions.text import norm_translit
 from nominatim_spark.pipeline.placex import IndexTables

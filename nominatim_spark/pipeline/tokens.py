@@ -22,10 +22,7 @@ lib-sql/functions/placex_triggers.sql:394-654) as three DataFrames:
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

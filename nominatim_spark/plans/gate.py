@@ -255,8 +255,7 @@ def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the cell id with the pure-SQL formula — proving the
     numpy kernel (grid.py encode) is bit-identical to the declared grid.
     """
-    import numpy as np
-
+    
     @F.pandas_udf(T.LongType())
     def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), _CELL_RES))

@@ -21,10 +21,8 @@ DataFrame analog of a MERGE/upsert into the checkpointed parquet).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from nominatim_spark import grid
 from nominatim_spark.pipeline.placex import (
     CELL_RES, IndexTables, assign_country, assign_parents, base_attributes)
 from nominatim_spark.pipeline.rank import compute_place_rank
