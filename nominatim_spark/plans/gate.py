@@ -1163,7 +1163,7 @@ def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx, _ = build_synth_index(
         spark, n_cities=2, n_streets=2, n_houses=2, n_pois=1,
-        ckpt_root="/tmp/nominatim_gate_upd_ckpt", resume=True,
+        ckpt_root="/tmp/nominatim_gate_upd_ckpt_v2", resume=True,
     )
     cx, cy = synth.city_center(0)
     y = cy - 0.1
