@@ -81,10 +81,17 @@ def apply_place_updates(
     fresh = fresh.withColumn("parent_address_level", F.lit(3))
 
     # ---- invalidation: standing places whose parenting could change —
-    # anything whose cell falls inside the updated geometries' padded
-    # cover (place_force_update semantics)
+    # anything whose cell falls inside the padded cover of an updated OR
+    # DELETED geometry (place_force_update semantics: a deleted street's
+    # houses must re-parent too)
+    dirty_boxes = fresh.select("place_id", "minx", "miny", "maxx", "maxy")
+    if del_ids is not None:
+        dirty_boxes = dirty_boxes.unionByName(
+            placex.join(del_ids, "place_id", "left_semi")
+            .select("place_id", "minx", "miny", "maxx", "maxy")
+        )
     pad_cells = (
-        fresh.select("place_id", "minx", "miny", "maxx", "maxy")
+        dirty_boxes
         .withColumn("minx", F.col("minx") - _PAD)
         .withColumn("miny", F.col("miny") - _PAD)
         .withColumn("maxx", F.col("maxx") + _PAD)
@@ -98,6 +105,8 @@ def apply_place_updates(
         .join(inval_cells, "cell", "left_semi")
         .join(upd_ids, "place_id", "left_anti")
     )
+    if del_ids is not None:
+        invalidated = invalidated.join(del_ids, "place_id", "left_anti")
 
     # ---- assemble the post-merge placex universe:
     # standing rows minus (updated ∪ deleted ∪ invalidated) + re-run rows

@@ -85,6 +85,34 @@ def test_boundary_update_rejected(spark, index):
         apply_place_updates(spark, index, updates)
 
 
+def test_delete_street_reparents_children(spark, index):
+    """Deleting a street invalidates its padded cover: the houses that
+    parented to it re-run parenting and fall back (place_force_update
+    semantics for removals)."""
+    sid = 10000  # street 0 of city 0
+    street_pid = sid * 4 + 1
+    deletes = spark.createDataFrame(
+        [("W", sid)], "osm_type string, osm_id long"
+    )
+    # non-empty update far away so the batch carries both kinds
+    cx, cy = synth.city_center(1)
+    updates = _place_rows(spark, [{
+        "osm_type": "N", "osm_id": 9400001, "class": "amenity",
+        "type": "restaurant", "admin_level": None,
+        "name": {"name": "Cafe Far"}, "address": {},
+        "extratags": {}, "geometry": point_wkb(cx, cy + 0.05),
+        "categories": None,
+    }])
+    idx2 = apply_place_updates(spark, index, updates, deletes=deletes)
+    assert idx2.placex.filter(f"place_id = {street_pid}").count() == 0
+    # the street's houses survive but no longer point at the dead street
+    orphans = idx2.placex.filter(
+        f"osm_id >= {1000000 + sid * 100} and osm_id < {1000000 + sid * 100 + 100}"
+    ).collect()
+    assert len(orphans) > 0
+    assert all(r.parent_place_id != street_pid for r in orphans)
+
+
 def test_stream_place_updates(spark, index, tmp_path):
     """Structured-Streaming diff replay: a file-sourced micro-batch of
     place rows merges into the standing index via foreachBatch."""
