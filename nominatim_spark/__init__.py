@@ -11,6 +11,27 @@ ranks, token semantics — see SURVEY.md §2 with file:line citations in each
 module); the HOW is Spark-first.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from nominatim_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):  # lazy re-exports: keep import light, surface rich
+    _API = {
+        "build_index": ("nominatim_spark.pipeline.placex", "build_index"),
+        "geocode": ("nominatim_spark.pipeline.search", "geocode"),
+        "geocode_all": ("nominatim_spark.pipeline.search", "geocode_all"),
+        "near_search": ("nominatim_spark.pipeline.search", "near_search"),
+        "reverse_geocode": ("nominatim_spark.pipeline.reverse",
+                            "reverse_geocode"),
+        "apply_place_updates": ("nominatim_spark.streaming.updates",
+                                "apply_place_updates"),
+        "build_postcodes": ("nominatim_spark.pipeline.postcodes",
+                            "build_postcodes"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'nominatim_spark' has no attribute {name!r}")
