@@ -107,13 +107,74 @@ def tokenize_places(placex: DataFrame) -> DataFrame:
     ).drop("_names", "_hnrs")
 
 
+NODE_FUZZY_RES = 5  # ~3.5 km cells: 4 cells per suburb disk, ~100 per city
+
+
+def _node_fuzzy_ancestors(named: DataFrame,
+                          node_areas: DataFrame) -> DataFrame:
+    """Address ancestors from place NODES with rank-dependent fuzzy radii
+    (place_node_fuzzy_area, utils.sql:338-358: city 15 km, town 4 km,
+    village 2 km, hamlet 1 km, else 500 m) — a POI near a suburb node
+    gets the suburb's name in its address vector even though no polygon
+    exists.  Disk-cover equi-join + exact distance filter (planar
+    degrees, the engine's expand_by_meters simplification)."""
+    from nominatim_spark.grid import EARTH_DEG_M
+    from nominatim_spark.operators.spatial import explode_bbox_cells
+
+    radius_deg = (
+        F.when(F.col("rank_search") <= 16, 15000.0)
+        .when(F.col("rank_search") <= 18, 4000.0)
+        .when(F.col("rank_search") <= 19, 2000.0)
+        .when(F.col("rank_search") <= 20, 1000.0)
+        .otherwise(500.0) / F.lit(EARTH_DEG_M)
+    )
+    nodes = node_areas.withColumn("_r", radius_deg).select(
+        "anc_id", "anc_name",
+        F.col("lon").alias("a_lon"), F.col("lat").alias("a_lat"), "_r",
+    )
+    cover = explode_bbox_cells(
+        nodes.withColumn("minx", F.col("a_lon") - F.col("_r"))
+        .withColumn("miny", F.col("a_lat") - F.col("_r"))
+        .withColumn("maxx", F.col("a_lon") + F.col("_r"))
+        .withColumn("maxy", F.col("a_lat") + F.col("_r")),
+        res=NODE_FUZZY_RES,
+    ).select("anc_id", "anc_name", "a_lon", "a_lat", "_r", "cell")
+    # the disk must intersect the place's GEOMETRY (the reference
+    # intersects the fuzzy area with the row geometry — a street running
+    # through a suburb qualifies even though its centroid is far); the
+    # bbox is the conservative stand-in: point-to-bbox distance <= r
+    pts = explode_bbox_cells(
+        named.select("place_id", "minx", "miny", "maxx", "maxy"),
+        res=NODE_FUZZY_RES,
+    )
+    dx = F.greatest(
+        F.col("minx") - F.col("a_lon"), F.col("a_lon") - F.col("maxx"),
+        F.lit(0.0),
+    )
+    dy = F.greatest(
+        F.col("miny") - F.col("a_lat"), F.col("a_lat") - F.col("maxy"),
+        F.lit(0.0),
+    )
+    return (
+        pts.join(cover, "cell")
+        .filter(dx * dx + dy * dy <= F.col("_r") * F.col("_r"))
+        .filter(F.col("anc_id") != F.col("place_id"))
+        .select("place_id", "anc_id", "anc_name")
+        .distinct()
+    )
+
+
 def place_terms(named: DataFrame, areas: DataFrame,
-                parent_names: DataFrame) -> tuple[DataFrame, DataFrame]:
+                parent_names: DataFrame,
+                node_areas: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """Per-place (name_terms, addr_terms) for the rows of ``named``.
 
     ``areas``: (anc_id, anc_name, geometry) candidate ancestor polygons.
     ``parent_names``: (parent_place_id, parent_vars) street-name variants.
-    Both are CONTEXT tables — pass the full sets for a full build, or the
+    ``node_areas``: (anc_id, anc_name, lon, lat, rank_search) place nodes
+    acting as fuzzy address areas (place_node_fuzzy_area).
+    All are CONTEXT tables — pass the full sets for a full build, or the
     standing index's for an incremental one.
     """
     ancestors = point_in_polygon_join_dist(
@@ -124,6 +185,10 @@ def place_terms(named: DataFrame, areas: DataFrame,
     ).filter(F.col("anc_id") != F.col("place_id")).select(
         "place_id", "anc_id", "anc_name"
     )
+    if node_areas is not None:
+        ancestors = ancestors.unionByName(
+            _node_fuzzy_ancestors(named, node_areas)
+        ).distinct()
     with_parent = named.join(parent_names, "parent_place_id", "left")
 
     # name terms: every variant contributes its full form (W) + words (w)
@@ -214,7 +279,8 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
 
     named = tokenize_places(placex)
     name_terms, addr_terms = place_terms(
-        named, _area_context_from(named), _parent_context_from(named)
+        named, _area_context_from(named), _parent_context_from(named),
+        node_areas=_node_area_context_from(named),
     )
 
     # ---- word table: dense deterministic ids via zipWithIndex over the
@@ -315,12 +381,13 @@ def incremental_search_tables(spark, idx: IndexTables, redo: DataFrame,
     # context = standing tokenized rows ∪ the freshly tokenized diff (a
     # new street in the same diff can parent a new house)
     ctx_cols = ["place_id", "norm_name", "var_names", "extended_type",
-                "rank_address", "geometry"]
+                "rank_address", "rank_search", "lon", "lat", "geometry"]
     context = survivors.select(*ctx_cols).unionByName(
         named_redo.select(*ctx_cols)
     )
     name_terms, addr_terms = place_terms(
-        named_redo, _area_context_from(context), _parent_context_from(context)
+        named_redo, _area_context_from(context), _parent_context_from(context),
+        node_areas=_node_area_context_from(context),
     )
 
     # ---- word merge: append only genuinely new terms
@@ -402,4 +469,18 @@ def _parent_context_from(ctx: DataFrame) -> DataFrame:
     return ctx.select(
         F.col("place_id").alias("parent_place_id"),
         F.col("var_names").alias("parent_vars"),
+    )
+
+
+def _node_area_context_from(ctx: DataFrame) -> DataFrame:
+    """Place nodes acting as fuzzy address areas (rank 16..25 points —
+    suburbs/villages/hamlets; unlinked town/city nodes)."""
+    return ctx.filter(
+        (F.col("extended_type") != "A")
+        & F.col("rank_address").between(16, 25)
+        & F.col("norm_name").isNotNull()
+    ).select(
+        F.col("place_id").alias("anc_id"),
+        F.col("norm_name").alias("anc_name"),
+        "lon", "lat", "rank_search",
     )

@@ -213,6 +213,24 @@ def test_associated_street_parenting(spark, index):
     assert len(res) == 1 and res[0].osm_id == 7000001  # hnr 102 = house k=1
 
 
+def test_suburb_node_qualifies_addresses(spark, index):
+    """place_node_fuzzy_area (utils.sql:338-358): a suburb NODE within its
+    rank radius contributes address tokens, so suburb-qualified queries
+    resolve even though the suburb has no polygon."""
+    idx, osmline = index
+    # house 3 of street j=1, city 0 sits ~0.01 deg from suburb Northside
+    # (suburb radius: rank 19 -> 2000 m ≈ 0.018 deg)
+    q = spark.createDataFrame(
+        [("s1", f"{synth.street_name(0, 1)} 3, Northside")],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx, q, osmline=osmline).collect()
+    assert len(res) == 1
+    sid = 10000 + 0 * 100 + 1
+    assert res[0].osm_id == 1000000 + sid * 100 + 1  # house k=1 (hnr 3)
+    assert res[0].housenumber == "3"
+
+
 def test_way_node_membership_parenting(spark, tmp_path_factory):
     """J11 (find_parent_for_poi:213-231): a tagless POI node that is a
     member of a street way parents to that way — and the membership lane
