@@ -48,6 +48,14 @@ def compile_rules(rules: list[str],
     ``->`` keeps the source as a variant; ``=>`` replaces it.
     """
     repl: dict[str, set[str]] = {}
+    # reverse entries are collected per target and only merged when exactly
+    # one rule produced them: a target shared by rules with different
+    # sources ("street -> st" and "saint -> st") must NOT become transitive
+    # ("birch st" expanding to "birch saint") — the reference's explicit
+    # per-direction config rules never produce that, so an ambiguous
+    # abbreviation simply keeps its own spelling
+    rev: dict[str, set[str]] = {}
+    rev_rules: dict[str, int] = {}
     for rule in rules:
         m = re.split(r"\s*([=-])>\s*", rule)
         if len(m) != 3:
@@ -60,15 +68,19 @@ def compile_rules(rules: list[str],
             out.update(targets)
             if keep:
                 out.add(s)
-            # make the rule symmetric-searchable: an abbreviated name in
-            # the data must also index its expansions ("st" data, "street"
-            # query) — the reference achieves this with reverse rules in
-            # the config; the engine defaults generate both directions
-            for t in targets:
-                rout = repl.setdefault(t, set())
-                rout.add(t)
-                rout.add(s)
-                rout.update(targets)
+        # make the rule symmetric-searchable: an abbreviated name in
+        # the data must also index its expansions ("st" data, "street"
+        # query) — the reference achieves this with reverse rules in
+        # the config; the engine defaults generate both directions
+        for t in targets:
+            rout = rev.setdefault(t, set())
+            rout.add(t)
+            rout.update(sources)
+            rout.update(targets)
+            rev_rules[t] = rev_rules.get(t, 0) + 1
+    for t, rout in rev.items():
+        if rev_rules[t] == 1:
+            repl.setdefault(t, set()).update(rout)
     pattern = None
     if repl:
         words = sorted(repl, key=len, reverse=True)

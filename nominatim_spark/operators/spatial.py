@@ -348,7 +348,13 @@ def point_in_polygon_join_dist(
 def _explode_disk(df: DataFrame, lon: str, lat: str, res: int,
                   k: int) -> DataFrame:
     """Explode each point row into its Chebyshev k-disk of cells at ``res``
-    (JVM arithmetic: sequence + explode, longitude wraps, latitude clips)."""
+    (JVM arithmetic: sequence + explode, out-of-range cells dropped).
+
+    Longitude does NOT wrap across the antimeridian: the engine is planar
+    degrees throughout (candidate encoding clamps, exact distance filters
+    are unwrapped), so a wrapped probe cell could only produce candidates
+    the distance filter discards anyway — cells beyond the [-180, 180)
+    edge are simply dropped, mirroring the latitude clip."""
     scale = 1 << res
     out = df.withColumn(
         "_ix", F.expr(f"CAST(FLOOR(({lon} + 180.0) * {scale}) AS BIGINT)")
@@ -364,11 +370,13 @@ def _explode_disk(df: DataFrame, lon: str, lat: str, res: int,
             F.expr(
                 f"CAST({res} AS BIGINT) * CAST({2**56} AS BIGINT)"
                 f" + (_iy + _dy) * CAST({2**28} AS BIGINT)"
-                f" + pmod(_ix + _dx, {360 * scale})"
+                f" + (_ix + _dx)"
             ),
         )
         .filter(F.col("_iy") + F.col("_dy") >= 0)
         .filter(F.col("_iy") + F.col("_dy") < 180 * scale)
+        .filter(F.col("_ix") + F.col("_dx") >= 0)
+        .filter(F.col("_ix") + F.col("_dx") < 360 * scale)
         .drop("_ix", "_iy", "_dx", "_dy")
     )
 

@@ -193,38 +193,59 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
                 F.col("admin_level").alias("par_adm"),
                 F.col("rank_address").alias("par_addr"),
                 F.col("wikidata").alias("par_wikidata"),
+                F.col("minx").alias("par_minx"),
+                F.col("miny").alias("par_miny"),
+                F.col("maxx").alias("par_maxx"),
+                F.col("maxy").alias("par_maxy"),
                 "geometry",
             )
             hit = point_in_polygon_join_dist(
                 cur.select("place_id", "lon", "lat"),
                 parents,
                 poly_key="par_id",
-                carry=("par_adm", "par_addr", "par_wikidata"),
+                carry=("par_adm", "par_addr", "par_wikidata",
+                       "par_minx", "par_miny", "par_maxx", "par_maxy"),
             )
             w = Window.partitionBy("place_id").orderBy(F.col("par_adm").desc())
             best_parent = (
                 hit.withColumn("_rn", F.row_number().over(w))
                 .filter("_rn = 1")
-                .select("place_id", "par_addr", "par_wikidata")
+                .select("place_id", "par_addr", "par_wikidata",
+                        "par_minx", "par_miny", "par_maxx", "par_maxy")
             )
             cur = cur.join(best_parent, "place_id", "left")
         else:
             cur = (
                 cur.withColumn("par_addr", F.lit(None).cast("int"))
                 .withColumn("par_wikidata", F.lit(None).cast("string"))
+                .withColumn("par_minx", F.lit(None).cast("double"))
+                .withColumn("par_miny", F.lit(None).cast("double"))
+                .withColumn("par_maxx", F.lit(None).cast("double"))
+                .withColumn("par_maxy", F.lit(None).cast("double"))
             )
-        # duplicate-boundary demotion (placex_triggers.sql:899-903): a
-        # boundary replicating its containing parent's wikidata is the
-        # same object at another admin level — drop it from addresses
+        # duplicate-boundary demotion (placex_triggers.sql:888-903): a
+        # boundary replicating its containing parent's wikidata AND
+        # geometry is the same object at another admin level — drop it
+        # from addresses.  ST_Equals is proxied by bbox equality (two
+        # distinct boundaries legitimately sharing a wikidata tag at
+        # different admin levels keep their address ranks)
+        _eps = 1e-9
+        same_geom = (
+            (F.abs(F.col("minx") - F.col("par_minx")) < _eps)
+            & (F.abs(F.col("miny") - F.col("par_miny")) < _eps)
+            & (F.abs(F.col("maxx") - F.col("par_maxx")) < _eps)
+            & (F.abs(F.col("maxy") - F.col("par_maxy")) < _eps)
+        )
         cur = cur.withColumn(
             "rank_address",
             F.when(
                 F.col("par_wikidata").isNotNull()
                 & (F.col("extratags").getItem("wikidata")
-                   == F.col("par_wikidata")),
+                   == F.col("par_wikidata"))
+                & same_geom,
                 F.lit(0),
             ).otherwise(F.col("rank_address")),
-        ).drop("par_wikidata")
+        ).drop("par_wikidata", "par_minx", "par_miny", "par_maxx", "par_maxy")
         # overtake rule (placex_triggers.sql:905-911)
         cur = cur.withColumn(
             "parent_address_level", F.coalesce(F.col("par_addr"), F.lit(3))
@@ -239,8 +260,10 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
         ).drop("par_addr")
         # place-category override (placex_triggers.sql:1163-1177)
         cur = cur.withColumn(
+            # get() (not [0]): boundaries without a place category yield an
+            # empty array, which ANSI mode would reject as invalid index
             "_bnd_place_cat",
-            F.expr("filter(categories, c -> c LIKE 'osm.place.%')").getItem(0),
+            F.expr("get(filter(categories, c -> c LIKE 'osm.place.%'), 0)"),
         ).withColumn(
             "_place_addr", F.expr(_place_cat_addr_rank())
         ).withColumn(
@@ -262,6 +285,7 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
             cur.select(
                 "place_id", "admin_level", "rank_address",
                 F.col("extratags").getItem("wikidata").alias("wikidata"),
+                "minx", "miny", "maxx", "maxy",
                 "geometry",
             )
         )

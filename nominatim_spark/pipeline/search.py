@@ -59,6 +59,11 @@ _P_SPLIT = 0.1
 _P_HNR_LEADING = 0.4
 _P_HNR_INNER = 0.25
 _P_POSTCODE = 0.1
+# a digit token read as PART OF THE NAME instead of a housenumber — the
+# reference yields both readings (token_assignment.py yields the
+# housenumber assignment AND the partial-word one), so 'Studio 54' /
+# 'Route 66' can match places genuinely named with a number
+_P_DIGIT_NAME = 0.1
 MAX_ASSIGN_TOKENS = 9  # the reference bounds assignment enumeration
 
 
@@ -86,12 +91,18 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
         return [("", None, "", None, 0.0, 0)]
 
     if len(phrases) > 1:
-        name, hnr = phrases[0], None
+        name = phrases[0]
+        addr = " ".join(norm_translit(p) for p in phrases[1:])
         m = _HNR_RE.match(name)
         if m and m.group(1).strip():
-            name, hnr = m.group(1).strip(), m.group(2)
-        addr = " ".join(norm_translit(p) for p in phrases[1:])
-        out.append((norm_translit(name), hnr, addr, None, 0.0, 0))
+            out.append((norm_translit(m.group(1).strip()), m.group(2),
+                        addr, None, 0.0, 0))
+            # dual reading: the digit stays in the name (places named
+            # with a number — see _P_DIGIT_NAME)
+            out.append((norm_translit(name), None, addr, None,
+                        _P_DIGIT_NAME, 0))
+        else:
+            out.append((norm_translit(name), None, addr, None, 0.0, 0))
         return out
 
     raw_toks = phrases[0].split()
@@ -120,6 +131,8 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
         base = (0.0 if j == len(raw_toks) - 1
                 else _P_HNR_LEADING if j == 0 else _P_HNR_INNER)
         emit(raw_toks[:j] + raw_toks[j + 1:], raw_toks[j], base)
+        # dual reading: the digit stays in the name (see _P_DIGIT_NAME)
+        emit(raw_toks, None, _P_DIGIT_NAME)
     else:
         emit(raw_toks, None, 0.0)
 
@@ -153,8 +166,10 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
     """Explode each query into its role assignments: one row per
     (query, assignment) with name_norm / hnr / addr_norm / postcode /
     apenalty / adirection columns (plus the full normalized query for the
-    direction-penalty stats).  Comma-phrased queries produce exactly one
-    aligned assignment (no fan-out on the flagship path)."""
+    direction-penalty stats).  Comma-phrased queries produce one aligned
+    assignment (plus the digit-kept-in-name dual reading when a trailing
+    housenumber was split off — that reading dies before any posting join
+    unless the digit really is an indexed name word)."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
@@ -269,6 +284,111 @@ def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
     # broadcast dictionary join (J20); unmatched tokens keep NULL ids so the
     # count check below fails the query rather than silently relaxing it
     return toks.join(F.broadcast(w), "_tok", "left")
+
+
+# When every partial of a name is at least this frequent, the lookup
+# switches to the full-name 'W' token (the reference's "partial term too
+# frequent, try looking up by rare full names" branch,
+# db_search_builder.py:236-246 / 258-268; index-lookup suitability decided
+# by CountedTokenIDs.get_num_lookup_tokens, db_search_fields.py:37-57).
+W_LOOKUP_MIN_COUNT = 30_000
+
+
+def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
+    """Per-assignment lookup PLAN: one row per (query_id, assign_id) with
+
+    * ``name_ids`` / ``addr_ids`` — the assignment's w-token id arrays
+      (assignments with any unknown token are dropped — the AND semantics
+      could never match them);
+    * ``drive_id`` — the single token that drives the posting join: the
+      RAREST name token by indexed name_count (the batch analog of
+      CountedTokenIDs rare-token-first planning, db_search_fields.py:22-57
+      — the posting join's fan-out is bounded by the rarest token's
+      document frequency, every other token is a recheck), or the
+      full-name 'W' token when all partials are more frequent than
+      W_LOOKUP_MIN_COUNT (db_search_builder.py:236-246: the narrowed
+      full-name plan is what the reference runs when partial lookups stop
+      being index-worthy).
+
+    The remaining tokens are NOT joined against the posting tables at all:
+    candidates carry their name_vector/nameaddress_vector arrays, so the
+    LookupAll remainder and the whole address Restrict (J3) become JVM
+    ``forall(ids, array_contains(vector, id))`` filters — no shuffle.
+    """
+    has_stats = "name_count" in word.columns
+    toks = q.select(
+        "query_id", "assign_id", "apenalty", "name_norm",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.expr("filter(split(name_norm, ' '), w -> w <> '')"),
+                    lambda w: F.struct(w.alias("_tok"),
+                                       F.lit("n").alias("_role")),
+                ),
+                F.transform(
+                    F.expr("filter(split(addr_norm, ' '), w -> w <> '')"),
+                    lambda w: F.struct(w.alias("_tok"),
+                                       F.lit("a").alias("_role")),
+                ),
+            )
+        ).alias("_t"),
+    ).select("query_id", "assign_id", "apenalty", "name_norm",
+             F.col("_t._tok").alias("_tok"), F.col("_t._role").alias("_role"))
+    w = word.filter(F.col("type") == "w").select(
+        F.col("word_token").alias("_tok"),
+        F.col("word_id").alias("_wid"),
+        (F.col("name_count") if has_stats else F.lit(1))
+        .cast("long").alias("_wcount"),
+    )
+    toks = toks.join(F.broadcast(w), "_tok", "left")
+    agg = toks.groupBy("query_id", "assign_id").agg(
+        F.first("apenalty").alias("apenalty"),
+        F.first("name_norm").alias("name_norm"),
+        F.sum(F.when(F.col("_role") == "n", 1).otherwise(0)).alias("_n_name"),
+        F.sum(F.when((F.col("_role") == "n") & F.col("_wid").isNotNull(), 1)
+              .otherwise(0)).alias("_n_name_hit"),
+        F.sum(F.when(F.col("_role") == "a", 1).otherwise(0)).alias("_n_addr"),
+        F.sum(F.when((F.col("_role") == "a") & F.col("_wid").isNotNull(), 1)
+              .otherwise(0)).alias("_n_addr_hit"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("_role") == "n", F.col("_wid"))
+        )).alias("name_ids"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("_role") == "a", F.col("_wid"))
+        )).alias("addr_ids"),
+        F.expr(
+            "min_by(CASE WHEN _role = 'n' THEN _wid END, "
+            "CASE WHEN _role = 'n' AND _wid IS NOT NULL "
+            "THEN struct(_wcount, _wid) END)"
+        ).alias("_drive_w"),
+        F.min(F.when(F.col("_role") == "n", F.col("_wcount")))
+        .alias("_drive_count"),
+    ).filter(
+        (F.col("_n_name") > 0)
+        & (F.col("_n_name_hit") == F.col("_n_name"))
+        & (F.col("_n_addr_hit") == F.col("_n_addr"))
+    )
+
+    # full-name 'W' token for the whole normalized name, if indexed —
+    # prefiltered by the batch's distinct names so the (huge) W dictionary
+    # is never broadcast, only the matching slice
+    wfull = word.filter(F.col("type") == "W").select(
+        F.col("word_token").alias("name_norm"),
+        F.col("word_id").alias("_w_full_id"),
+    )
+    wfull = wfull.join(
+        F.broadcast(agg.select("name_norm").distinct()),
+        "name_norm", "left_semi",
+    )
+    agg = agg.join(F.broadcast(wfull), "name_norm", "left")
+    return agg.select(
+        "query_id", "assign_id", "apenalty", "name_ids", "addr_ids",
+        F.when(
+            F.col("_w_full_id").isNotNull()
+            & (F.col("_drive_count") >= W_LOOKUP_MIN_COUNT),
+            F.col("_w_full_id"),
+        ).otherwise(F.col("_drive_w")).alias("drive_id"),
+    )
 
 
 # DataLayer -> class sets (nominatim_api/types.py DataLayer flags; the

@@ -26,11 +26,28 @@ def _by_roles(assigns):
     return {(a[0], a[1], a[2], a[3]): a[4] for a in assigns}
 
 
-def test_comma_query_single_assignment():
+def test_comma_query_housenumber_dual_reading():
+    # the reference yields BOTH the housenumber reading and the
+    # digit-kept-in-name reading (token_assignment.py dual readings)
     a = _assignments("Birch Street 3, Vels")
+    assert len(a) == 2
+    roles = _by_roles(a)
+    assert roles[("birch street", "3", "vels", None)] == 0.0
+    assert roles[("birch street 3", None, "vels", None)] == pytest.approx(0.1)
+
+
+def test_comma_query_no_digit_single_assignment():
+    a = _assignments("Birch Street, Vels")
     assert len(a) == 1
-    name, hnr, addr, pc, pen, dirn = a[0]
-    assert (name, hnr, addr, pen) == ("birch street", "3", "vels", 0.0)
+    assert _by_roles(a)[("birch street", None, "vels", None)] == 0.0
+
+
+def test_digit_kept_in_name_reading():
+    # 'Studio 54' must be reachable through the name lane, not only the
+    # housenumber lane (which requires a street candidate)
+    roles = _by_roles(_assignments("Studio 54"))
+    assert roles[("studio", "54", "", None)] == 0.0
+    assert roles[("studio 54", None, "", None)] == pytest.approx(0.1)
 
 
 def test_unphrased_splits_both_directions():

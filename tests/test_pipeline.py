@@ -280,3 +280,45 @@ def test_way_node_membership_parenting(spark, tmp_path_factory):
     street_pid = 710 * 4 + 1
     assert px[720].parent_place_id == street_pid  # membership lane
     assert px[721].parent_place_id == street_pid  # tag lane (same street)
+
+
+def test_wikidata_demotion_requires_equal_geometry(spark, tmp_path_factory):
+    """Duplicate-boundary demotion (placex_triggers.sql:888-903) requires
+    BOTH the wikidata match and geometry equality (bbox proxy): a boundary
+    replicating its parent exactly is demoted to rank_address 0; a distinct
+    boundary that merely shares the wikidata tag keeps its address rank."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.wkb import box_wkb
+    from nominatim_spark.pipeline.placex import build_index
+    from nominatim_spark.sources.synth import PLACE_SCHEMA
+
+    cx, cy = 9.5, 47.5
+
+    def bnd(osm_id, lvl, wikidata, box):
+        return {
+            "osm_type": "R", "osm_id": osm_id, "class": "boundary",
+            "type": "administrative", "admin_level": lvl,
+            "name": {"name": f"B{osm_id}"}, "address": {},
+            "extratags": {"wikidata": wikidata},
+            "geometry": box_wkb(*box),
+            "categories": ["osm.boundary.administrative"],
+        }
+
+    big = (cx - 0.2, cy - 0.2, cx + 0.2, cy + 0.2)
+    small = (cx - 0.05, cy - 0.05, cx + 0.05, cy + 0.05)
+    rows = [
+        bnd(800, 6, "Q77", big),
+        bnd(801, 8, "Q77", big),    # same wikidata + same geometry -> demoted
+        bnd(802, 8, "Q77", small),  # same wikidata, different geometry -> kept
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = pd.Series([r["admin_level"] for r in rows], dtype=object)
+    place = spark.createDataFrame(pdf, schema=PLACE_SCHEMA)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_demote"))
+    idx = build_index(spark, place, ckpt_root=ckpt)
+    ra = {r.osm_id: r.rank_address for r in
+          idx.placex.select("osm_id", "rank_address").collect()}
+    assert ra[801] == 0
+    assert ra[802] > 0
+    assert ra[800] > 0

@@ -108,3 +108,18 @@ def test_geocode_abbreviated_street(spark, index):
     assert (res["ab1"].osm_type, res["ab1"].osm_id) == ("W", 10000)
     assert res["ab2"].housenumber == "3" and res["ab2"].osm_type == "N"
     assert (res["full"].osm_type, res["full"].osm_id) == ("W", 10000)
+
+
+def test_reverse_rules_not_transitive():
+    """An abbreviation shared by two rules ('street -> st', 'saint -> st')
+    must not expand at all — transitive reverse expansion would make
+    'Birch St' match 'Birch Saint' queries (reference configs use explicit
+    per-direction rules that never produce this)."""
+    rules = compile_rules(["street -> st", "saint -> st"])
+    assert set(compute_variants("birch st", rules)) == {"birch st"}
+    # forward rules still apply independently
+    assert "birch st" in set(compute_variants("birch street", rules))
+    assert "birch st" in set(compute_variants("birch saint", rules))
+    # an unambiguous target keeps its reverse expansion
+    lone = compile_rules(["road -> rd"])
+    assert "birch road" in set(compute_variants("birch rd", lone))
