@@ -331,11 +331,32 @@ def adjust_ranks(placex: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- stage D
 
+def _as_spark_df(spark, df, schema_hint=None):
+    """Accept a Spark DataFrame as-is; lift a pandas frame (test/CLI
+    convenience shim) into Spark.  Relation-membership tables are
+    planet-scale (~1e6+ rows) — production callers pass Spark DataFrames
+    so nothing unbounded ever materializes on the driver."""
+    if df is None or isinstance(df, DataFrame):
+        return df
+    if len(df) == 0:
+        return None
+    return spark.createDataFrame(df, schema=schema_hint)
+
+
 def assign_parents(placex: DataFrame,
-                   assoc_members: pd.DataFrame | None = None,
-                   way_nodes: DataFrame | None = None) -> DataFrame:
+                   assoc_members=None,
+                   way_nodes: DataFrame | None = None,
+                   points: DataFrame | None = None) -> DataFrame:
     """parent_place_id (placex_triggers.sql find_parent_for_poi :191-268 +
     addressable-area parenting).
+
+    ``points``: optional (place_id) subset to (re-)parent — the
+    incremental-update path passes the dirty set here so every lane's
+    POINT side is diff-sized while the CONTEXT sides (areas, streets,
+    named places, memberships) stay the full universe; cost then scales
+    with the diff times local density, never with the standing index.
+    Returns only the ``points`` rows when given (the full frame
+    otherwise).
 
     * lane 0: associatedStreet relation members — a house member parents to
       the relation's street member (placex_triggers.sql:119-182); takes
@@ -351,18 +372,23 @@ def assign_parents(placex: DataFrame,
       (J11, find_parent_for_poi :213-231) when no tag lane matched
     * remaining POIs: nearest road by point-to-segment distance
 
-    ``assoc_members``: (relation_id, member_type, member_id, role) rows.
+    ``assoc_members``: (relation_id, member_type, member_id, role) rows —
+    a Spark DataFrame (pandas accepted as a test shim, see _as_spark_df).
     ``way_nodes``: (way_id, nodes array<long>) membership rows.
     """
     from nominatim_spark.functions.text import norm_translit
 
     spark = placex.sparkSession
+    pts = (placex if points is None
+           else placex.join(points.select("place_id"), "place_id",
+                            "left_semi"))
+    assoc_members = _as_spark_df(spark, assoc_members)
 
     # --- lane 0: associatedStreet relations (J10).  Resolved as a
     # relation-keyed equi-join — the membership table stays distributed
     # (a planet has ~1e6 associatedStreet relations).
-    if assoc_members is not None and len(assoc_members):
-        mem = spark.createDataFrame(assoc_members).withColumn(
+    if assoc_members is not None:
+        mem = assoc_members.withColumn(
             "member_pid",
             F.col("member_id") * 4
             + F.when(F.col("member_type") == "N", 0)
@@ -378,7 +404,7 @@ def assign_parents(placex: DataFrame,
             mem.filter(F.col("role") != "street")
             .join(rel_street, "relation_id")
             .select(F.col("member_pid").alias("place_id"), "parent_place_id")
-            .join(placex.select("place_id"), "place_id", "left_semi")
+            .join(pts.select("place_id"), "place_id", "left_semi")
         )
     else:
         assoc_parent = spark.createDataFrame(
@@ -400,7 +426,7 @@ def assign_parents(placex: DataFrame,
         "geometry",
     )
     area_hits = point_in_polygon_join_dist(
-        placex.select("place_id", "lon", "lat", "rank_address", "rank_search"),
+        pts.select("place_id", "lon", "lat", "rank_address", "rank_search"),
         areas,
         poly_key="a_id",
         carry=("a_addr", "a_area"),
@@ -439,7 +465,7 @@ def assign_parents(placex: DataFrame,
         res=CELL_RES, pad=pad,
     ).select("street_id", "street_key", "cell")
 
-    pois = placex.filter(
+    pois = pts.filter(
         (F.col("rank_search") >= 28)
         & F.col("address").getItem("street").isNotNull()
     ).select("place_id", "lon", "lat", "cell", F.col("address").getItem("street").alias("_street"))
@@ -499,7 +525,7 @@ def assign_parents(placex: DataFrame,
         res=CELL_RES, pad=0.04,
         minx="pl_lon", miny="pl_lat", maxx="pl_lon", maxy="pl_lat",
     )
-    pois_pl = placex.filter(
+    pois_pl = pts.filter(
         (F.col("rank_search") >= 28)
         & F.col("address").getItem("place").isNotNull()
         # addr:street wins over addr:place (find_parent_for_poi order)
@@ -527,7 +553,7 @@ def assign_parents(placex: DataFrame,
         streets_only = placex.filter(
             F.col("rank_search").between(26, 27)
         ).select((F.col("place_id")).alias("parent_place_id"))
-        poi_nodes = placex.filter(
+        poi_nodes = pts.filter(
             (F.col("rank_search") >= 28) & (F.col("osm_type") == "N")
         ).select("place_id")
         member_parent = (
@@ -590,7 +616,7 @@ def assign_parents(placex: DataFrame,
     )
     # one parent per place (street / place / fallback lanes are disjoint
     # by construction)
-    return placex.join(parents, "place_id", "left")
+    return pts.join(parents, "place_id", "left")
 
 
 # ------------------------------------------------------------ orchestration
@@ -606,8 +632,8 @@ class IndexTables:
 
 def build_placex(place: DataFrame, ckpt_root: str | None = None,
                  resume: bool = False,
-                 assoc_members: pd.DataFrame | None = None,
-                 label_members: pd.DataFrame | None = None,
+                 assoc_members=None,
+                 label_members=None,
                  way_nodes: DataFrame | None = None) -> DataFrame:
     """place -> fully ranked & parented placex, checkpointed per stage.
 
@@ -649,8 +675,7 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
     def _linked():
         from nominatim_spark.pipeline.linking import link_places
 
-        lm = (spark.createDataFrame(label_members)
-              if label_members is not None and len(label_members) else None)
+        lm = _as_spark_df(spark, label_members)
         out = link_places(spark, df4, label_members=lm)
         # boundary centroids may have moved to their label node: refresh
         # the locality cell key
@@ -662,8 +687,8 @@ def build_placex(place: DataFrame, ckpt_root: str | None = None,
 
 def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
                 resume: bool = False,
-                assoc_members: pd.DataFrame | None = None,
-                label_members: pd.DataFrame | None = None,
+                assoc_members=None,
+                label_members=None,
                 way_nodes: DataFrame | None = None) -> IndexTables:
     import tempfile
 

@@ -15,10 +15,13 @@ DataFrame DAG over all queries at once:
 2. tokenize: the same normalize→transliterate pipeline as the index side
    (the INDEX side additionally expands abbreviation variants, so
    "Birch St" matches without query-side expansion)
-3. name lane (LookupAll, J1): every name token must appear in the
-   candidate's name_vector — posting equi-join + count == n_tokens
-4. address lane (Restrict, J3): every address token must appear in
-   nameaddress_vector — second posting join + count
+3. plan: each assignment picks ONE drive token — the rarest name token
+   by indexed frequency, or the full-name 'W' token when every partial
+   is too frequent (the reference's CountedTokenIDs planning,
+   db_search_fields.py:22-57, db_search_builder.py:226-297)
+4. lookup: one posting equi-join on the drive tokens (J1); the LookupAll
+   remainder and the address Restrict (J3) are JVM array_contains
+   filters against the candidate's name_vector/nameaddress_vector
 5. housenumber lane (J13): name+address resolve a street; the housenumber
    equi-joins the street's children (housenumber lists exploded), falling
    back to the interpolation range join; postcode-role assignments join
@@ -27,12 +30,13 @@ DataFrame DAG over all queries at once:
    distance, importance desc, deterministic tie-break; top-1 per query
    (geocode) or the adaptive-cut ranked list (geocode_all)
 
-Scale notes: the word table is broadcast (dictionary-sized); the posting
-tables are pre-filtered by a broadcast semijoin against the query batch's
-DISTINCT token ids (bounded vocabulary) so the posting shuffle moves only
-matching rows — the batch analog of the reference's CountedTokenIDs
-rare-token planning (db_search_fields.py:36-57); AQE skew handling covers
-hot city-name tokens.
+Scale notes: the partial-word dictionary is broadcast (bounded
+vocabulary); the 'W' full-name dictionary is first semi-joined down to
+the batch's distinct names, then broadcast (never the full table); the
+posting table is pre-filtered by a broadcast semijoin against the
+batch's DISTINCT DRIVE ids, so the posting shuffle is bounded by the
+rarest-token document frequencies; AQE skew handling covers hot
+city-name drive tokens.
 """
 
 from __future__ import annotations
@@ -270,22 +274,6 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame) -> DataFrame:
     ).drop("_dirpen")
 
 
-def _token_ids(df: DataFrame, word: DataFrame, col: str, out: str) -> DataFrame:
-    """Explode space-separated normalized terms and map to word ids ('w').
-
-    All non-text columns of ``df`` ride along (token counts etc.)."""
-    riders = [c for c in df.columns if c != col]
-    toks = df.select(
-        *riders, F.explode(F.split(F.col(col), " ")).alias("_tok")
-    ).filter(F.col("_tok") != "")
-    w = word.filter(F.col("type") == "w").select(
-        F.col("word_token").alias("_tok"), F.col("word_id").alias(out)
-    )
-    # broadcast dictionary join (J20); unmatched tokens keep NULL ids so the
-    # count check below fails the query rather than silently relaxing it
-    return toks.join(F.broadcast(w), "_tok", "left")
-
-
 # When every partial of a name is at least this frequent, the lookup
 # switches to the full-name 'W' token (the reference's "partial term too
 # frequent, try looking up by rare full names" branch,
@@ -437,105 +425,49 @@ def score_hits(
     parsed = parse_queries(queries, text_col).persist()
     q = _fold_direction_penalty(parsed, idx.word).persist()
 
-    # ---- name lane first, THEN address recheck on the candidates only.
-    # This two-phase order is load-bearing at scale: name tokens are
-    # selective (LookupAll, J1) while address tokens are the opposite — a
-    # city name appears in the nameaddress_vector of every place in that
-    # city, so joining address tokens against the full posting table fans
-    # out to |queries| x |places-in-city| (measured 6x slower when "fused").
-    # Same principle as the reference's rare-token-first lookup planning
-    # (db_search_fields.py:36-57): drive with the selective set, recheck
-    # the rest.
-    # token counts are computed INLINE on the query row (size of the split
-    # array) instead of a groupBy+join round trip — saves two shuffles; the
-    # count rides along the exploded token rows and is recovered with
-    # first() inside the one necessary aggregation.
-    q = q.withColumn(
-        "n_name_toks",
-        F.size(F.expr("filter(split(name_norm, ' '), w -> w <> '')")),
-    ).withColumn(
-        "n_addr_toks",
-        F.size(F.expr("filter(split(addr_norm, ' '), w -> w <> '')")),
-    )
-
-    # apenalty rides the token rows end-to-end (recovered with first()
-    # inside the one necessary aggregation) — folding it at the end would
-    # cost an extra join over the full hits union
-    name_toks = _token_ids(
-        q.select("query_id", "assign_id", "name_norm", "n_name_toks",
-                 "apenalty"),
-        idx.word, "name_norm", "word_id",
-    )
-    # pre-filter the posting table by the query batch's distinct token ids
-    # (a bounded vocabulary — broadcast semi-join) so the shuffle moves
-    # only matching postings instead of the full table; the variant-
-    # expanded index made the full-table shuffle the dominant cost
-    name_toks = name_toks.filter(F.col("word_id").isNotNull()).persist()
-    name_posts = idx.name_postings.join(
-        F.broadcast(name_toks.select("word_id").distinct()),
+    # ---- planned lookup (J1 LookupAll + J3 Restrict, stats-driven):
+    # ONE posting join, driven by each assignment's rarest name token
+    # (or its full-name 'W' token when partials are too frequent — see
+    # _plan_assignments).  The LookupAll remainder and the entire address
+    # Restrict run as JVM array_contains filters against the candidate's
+    # own name_vector/nameaddress_vector — address tokens are
+    # anti-selective (a city name posts on every place in the city), so
+    # keeping them out of the join is load-bearing at scale (measured 6x).
+    plan = _plan_assignments(q, idx.word).persist()
+    # pre-filter the posting table by the batch's distinct DRIVE ids (a
+    # bounded broadcast) so the posting shuffle moves only the rarest-token
+    # rows — strictly fewer than round 2's all-query-token prefilter
+    drive_posts = idx.name_postings.join(
+        F.broadcast(plan.select(F.col("drive_id").alias("word_id"))
+                    .distinct()),
         "word_id", "left_semi",
-    )
-    name_hits = (
-        name_toks
-        .join(name_posts, "word_id")
-        .groupBy("query_id", "assign_id", "place_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hit"),
-            F.first("n_name_toks").alias("n_name_toks"),
-            F.first("apenalty").alias("apenalty"),
-        )
-        .filter(F.col("n_hit") == F.col("n_name_toks"))
-        .select("query_id", "assign_id", "place_id", "apenalty")
-    )
-
-    # address lane (Restrict recheck, J3): every addr token must appear in
-    # the candidate's nameaddress_vector — semijoin restricted to the name
-    # candidates, never the full posting table (see module docstring:
-    # address tokens are anti-selective)
-    addr_toks = _token_ids(
-        q.filter(F.col("addr_norm") != "").select(
-            "query_id", "assign_id", "addr_norm", "n_addr_toks"
-        ),
-        idx.word, "addr_norm", "word_id",
-    )
-    addr_toks = addr_toks.filter(F.col("word_id").isNotNull()).persist()
-    addr_posts = idx.addr_postings.join(
-        F.broadcast(addr_toks.select("word_id").distinct()),
-        "word_id", "left_semi",
-    )
-    addr_ok = (
-        name_hits.join(addr_toks, ["query_id", "assign_id"])
-        .join(addr_posts, ["word_id", "place_id"], "left_semi")
-        .groupBy("query_id", "assign_id", "place_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_addr_hit"),
-            F.first("n_addr_toks").alias("n_addr_toks"),
-        )
-    )
-    with_addr = (
-        name_hits.join(addr_ok, ["query_id", "assign_id", "place_id"], "left")
-        .join(
-            q.select("query_id", "assign_id",
-                     F.col("n_addr_toks").alias("q_addr_toks")),
-            ["query_id", "assign_id"],
-        )
-        .filter(
-            (F.col("q_addr_toks") == 0)
-            | (F.coalesce(F.col("n_addr_hit"), F.lit(0)) == F.col("q_addr_toks"))
-        )
-        .select("query_id", "assign_id", "place_id", "apenalty")
-    )
+    ).select(F.col("word_id").alias("drive_id"), "place_id")
 
     sn = idx.search_name.select(
         "place_id", "osm_type", "osm_id", "class", "type", "rank_search",
         "rank_address", "importance", "lon", "lat", "housenumber",
-        "norm_name", F.col("parent_place_id"),
+        "norm_name", "parent_place_id", "name_vector",
+        "nameaddress_vector",
     )
     # materialize the candidate set once: the house / interpolation /
     # fallback branches below all reuse it, and Spark does not reuse
     # exchanges across differently-projected union branches — without this
     # the whole posting-join subtree runs 3-4x (measured 63s -> ~20s)
-    cand = with_addr.join(sn, "place_id")
+    cand = (
+        plan.join(drive_posts, "drive_id")
+        .join(sn, "place_id")
+        .filter(F.expr(
+            "forall(name_ids, i -> array_contains(name_vector, i))"
+        ))
+        .filter(
+            (F.size("addr_ids") == 0)
+            | F.expr(
+                "forall(addr_ids, i -> array_contains(nameaddress_vector, i))"
+            )
+        )
+        .drop("drive_id", "name_ids", "addr_ids", "name_vector",
+              "nameaddress_vector")
+    )
     # ---- candidate-side search knobs (filters push below the persist so
     # excluded/out-of-layer rows never enter the cached exchange)
     if excluded_place_ids:

@@ -7,15 +7,20 @@ a batch of changed ``place`` rows invalidates the places it can affect,
 the affected subset is re-run through the SAME build stages, and the
 result is merged into the standing index tables.
 
-Scope (documented): geometry/tag changes at street/POI/house level
-(rank_search >= 26) and name edits anywhere re-index incrementally;
-admin-BOUNDARY geometry changes invalidate the containment hierarchy and
-trigger a full rebuild (the reference similarly cascades
-place_force_update over the whole affected partition).
+Scope (documented): changes at street/POI/house level (rank_search >= 26)
+re-index incrementally — a street rename propagates to its children
+because they sit inside the padded invalidation cover.  Anything below
+that rank (admin boundaries, place areas/nodes) changes the containment
+hierarchy or the address vocabulary of places far outside any local
+cover, so those updates raise and the caller falls back to the full
+build (the reference similarly cascades place_force_update over the
+whole affected partition, utils.sql:541-587).
 
 Scale notes: every step is a cell-key join against the update batch's
-cover cells — cost scales with the diff size times local density, never
-with the standing index size.  The merge is an anti-join + union (the
+cover cells, and re-parenting runs with the dirty set on the POINT side
+of every lane (assign_parents(points=...)) while the context tables stay
+full — cost scales with the diff size times local density, never with
+the standing index size.  The merge is an anti-join + union (the
 DataFrame analog of a MERGE/upsert into the checkpointed parquet).
 """
 
@@ -44,13 +49,21 @@ def apply_place_updates(
     idx: IndexTables,
     updates: DataFrame,
     deletes: DataFrame | None = None,
+    assoc_members=None,
+    way_nodes: DataFrame | None = None,
 ) -> IndexTables:
     """Merge a batch of changed/new place rows (and optional deletes) into
     the standing index; returns fresh IndexTables.
 
     ``updates``: raw place-schema rows (the diff's create/modify set).
     ``deletes``: (osm_type, osm_id) rows.
-    ``ValueError`` on admin-boundary updates — callers fall back to the
+    ``assoc_members`` / ``way_nodes``: the relation/way membership tables
+    (same shapes as build_index) — required whenever the standing index
+    was built with them, otherwise invalidated houses parented through an
+    associatedStreet relation (J10) or way membership (J11) would silently
+    re-parent through the tag lanes.
+    ``ValueError`` on updates outside the incremental scope (admin
+    boundaries, any row below rank_search 26) — callers fall back to the
     full build (see module docstring).
     """
     from nominatim_spark.pipeline.tokens import incremental_search_tables
@@ -76,6 +89,14 @@ def apply_place_updates(
     # ---- stage the update rows through base attrs + country + rank
     fresh = assign_country(base_attributes(updates))
     fresh = fresh.join(compute_place_rank(fresh), "place_id")
+    # scope guard: a row below rank 26 (place node, area) would change the
+    # address vocabulary of places far outside any local invalidation
+    # cover — cascade to a full rebuild instead of silently diverging
+    if not fresh.filter(F.col("rank_search") < 26).isEmpty():
+        raise ValueError(
+            "update below rank_search 26: outside the incremental scope — "
+            "run the full build (see module docstring)"
+        )
     # rank adjustments against the STANDING boundary hierarchy (unchanged
     # by scope guard): parent_address_level from the deepest existing area
     fresh = fresh.withColumn("parent_address_level", F.lit(3))
@@ -133,9 +154,13 @@ def apply_place_updates(
     universe = survivors.drop("parent_place_id", "linked_place_id").unionByName(
         redo_base
     )
-    reparented = assign_parents(universe)
-    redone = reparented.join(
-        redo_base.select("place_id"), "place_id", "left_semi"
+    # diff-proportional: only the redo rows sit on the point side of every
+    # parenting lane; the universe provides the context (areas, streets,
+    # named places) so a moved house finds its new street and a new street
+    # adopts existing (invalidated) houses
+    redone = assign_parents(
+        universe, assoc_members=assoc_members, way_nodes=way_nodes,
+        points=redo_base.select("place_id"),
     ).withColumn(
         "importance",
         F.coalesce(
@@ -166,7 +191,9 @@ def apply_place_updates(
 
 
 def stream_place_updates(spark, updates_stream: DataFrame, idx_ref: dict,
-                         checkpoint_dir: str):
+                         checkpoint_dir: str,
+                         assoc_members=None,
+                         way_nodes: DataFrame | None = None):
     """Structured-Streaming diff replay: each micro-batch of place rows is
     merged via apply_place_updates; ``idx_ref['idx']`` always holds the
     latest IndexTables (foreachBatch — the reference's repeated
@@ -175,7 +202,10 @@ def stream_place_updates(spark, updates_stream: DataFrame, idx_ref: dict,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx_ref["idx"] = apply_place_updates(spark, idx_ref["idx"], batch_df)
+        idx_ref["idx"] = apply_place_updates(
+            spark, idx_ref["idx"], batch_df,
+            assoc_members=assoc_members, way_nodes=way_nodes,
+        )
 
     return (
         updates_stream.writeStream
