@@ -52,7 +52,43 @@ from nominatim_spark.pipeline.placex import IndexTables
 
 _HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4})\s*$")
 _DIGIT_TOK = re.compile(r"^\d{1,4}$")
-_PC_TOK = re.compile(r"^\d{5}$")  # synthetic country 'cv' pattern
+
+# ---- postcode recognition (postcode_parser.py:20-104 re-expression):
+# per-country patterns with an optional country-code prefix ('DE 12345',
+# 'DE-12345'); all-zero forms rejected (postcode_format.py:33-50).
+from nominatim_spark.pipeline.postcodes import POSTCODE_PATTERNS
+
+_PC_RES = [
+    (cc, re.compile(
+        rf"(?:{cc.upper()}[ -]?)?({pat.lstrip('^').rstrip('$')})"))
+    for cc, pat in POSTCODE_PATTERNS.items()
+]
+_PC_ZERO = re.compile(r"[0\- ]+")
+
+
+def _match_postcode(term: str) -> str | None:
+    """Normalized postcode when ``term`` is one (cc prefix stripped,
+    uppercased), else None."""
+    t = term.upper().strip()
+    for _cc, pat in _PC_RES:
+        m = pat.fullmatch(t)
+        if m and not _PC_ZERO.fullmatch(m.group(1)):
+            return m.group(1)
+    return None
+
+
+def _extract_pc(tokens: list[str]) -> tuple[str | None, list[str]]:
+    """Split a leading or trailing postcode window (1-2 tokens, so
+    'CV 12345' works) off a token stream."""
+    for size in (2, 1):
+        if len(tokens) >= size:
+            got = _match_postcode(" ".join(tokens[:size]))
+            if got is not None:
+                return got, tokens[size:]
+            got = _match_postcode(" ".join(tokens[-size:]))
+            if got is not None:
+                return got, tokens[:-size]
+    return None, tokens
 
 # token_assignment.py penalty constants (re-expressed):
 #   word-break split inside a phrase  -> 0.1  (word_break_penalty)
@@ -90,57 +126,116 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
       (:374-381).
     """
     phrases = [p.strip() for p in (q or "").split(",") if p.strip()]
-    out: list[tuple[str, str | None, str, str | None, float, int]] = []
+    out: list[tuple] = []
     if not phrases:
-        return [("", None, "", None, 0.0, 0)]
+        return [("", None, "", None, 0.0, 0, [])]
 
     if len(phrases) > 1:
         name = phrases[0]
-        addr = " ".join(norm_translit(p) for p in phrases[1:])
-        m = _HNR_RE.match(name)
-        if m and m.group(1).strip():
-            out.append((norm_translit(m.group(1).strip()), m.group(2),
-                        addr, None, 0.0, 0))
-            # dual reading: the digit stays in the name (places named
-            # with a number — see _P_DIGIT_NAME)
-            out.append((norm_translit(name), None, addr, None,
-                        _P_DIGIT_NAME, 0))
-        else:
-            out.append((norm_translit(name), None, addr, None, 0.0, 0))
+        # in-phrase postcode roles (postcode_parser.py:49-83): the first
+        # address phrase that is, starts with, or ends with a postcode
+        # window surrenders it ('street 5, 12345 city' routes the 12345
+        # to the postcode lane, 'city' stays an address phrase)
+        pc, aphr = None, []
+        for p in phrases[1:]:
+            if pc is None:
+                got, rest = _extract_pc(p.split())
+                if got is not None:
+                    pc = got
+                    if rest:
+                        aphr.append(norm_translit(" ".join(rest)))
+                    continue
+            aphr.append(norm_translit(p))
+        addr = " ".join(aphr)
+
+        def emit_phrased(nm: str, base: float):
+            m = _HNR_RE.match(nm)
+            if m and m.group(1).strip():
+                out.append((norm_translit(m.group(1).strip()), m.group(2),
+                            addr, pc, base, 0, aphr))
+                # dual reading: the digit stays in the name (places named
+                # with a number — see _P_DIGIT_NAME)
+                out.append((norm_translit(nm), None, addr, pc,
+                            base + _P_DIGIT_NAME, 0, aphr))
+            else:
+                out.append((norm_translit(nm), None, addr, pc, base, 0,
+                            aphr))
+
+        # trailing postcode on the name phrase ('Birch Street 47000, ...')
+        ntoks = name.split()
+        if pc is None and len(ntoks) > 1:
+            got = _match_postcode(ntoks[-1])
+            if got is not None:
+                pc = got
+                emit_phrased(" ".join(ntoks[:-1]), 0.0)
+                pc = None  # emit_phrased reads the closure at call time
+                emit_phrased(name, _P_SPLIT)
+                return out
+        emit_phrased(name, 0.0)
+        if pc is not None:
+            # reading without the postcode role (the token may genuinely
+            # be part of an address word) — small penalty, dies in the
+            # plan stage unless the token really is indexed
+            aphr_full = [norm_translit(p) for p in phrases[1:]]
+            out.append((norm_translit(name), None, " ".join(aphr_full),
+                        None, _P_SPLIT, 0, aphr_full))
         return out
 
     raw_toks = phrases[0].split()
-    if len(raw_toks) == 1 and _PC_TOK.match(raw_toks[0]):
-        return [("", None, "", raw_toks[0], _P_POSTCODE, 0)]
+    if len(raw_toks) == 1:
+        got = _match_postcode(raw_toks[0])
+        if got is not None:
+            # postcode-only assignment (:374-381)
+            return [("", None, "", got, _P_POSTCODE, 0, [])]
     if len(raw_toks) > MAX_ASSIGN_TOKENS:
-        return [(norm_translit(phrases[0]), None, "", None, 0.0, 0)]
+        return [(norm_translit(phrases[0]), None, "", None, 0.0, 0, [])]
 
-    def emit(toks: list[str], hnr: str | None, base: float):
+    def emit(toks: list[str], hnr: str | None, base: float,
+             pc: str | None = None):
         n = len(toks)
         if n == 0:
+            if pc is not None:
+                out.append(("", None, "", pc, base + _P_POSTCODE, 0, []))
             return
         norm = [norm_translit(t) for t in toks]
-        out.append((" ".join(norm), hnr, "", None, base, 0))
+        out.append((" ".join(norm), hnr, "", pc, base, 0, []))
         for i in range(1, n):
             # forward: name prefix, address suffix (:283-310)
             out.append((" ".join(norm[:i]), hnr, " ".join(norm[i:]),
-                        None, base + _P_SPLIT, 1))
+                        pc, base + _P_SPLIT, 1, [" ".join(norm[i:])]))
             # backward: address prefix, name suffix (:313-356)
             out.append((" ".join(norm[i:]), hnr, " ".join(norm[:i]),
-                        None, base + _P_SPLIT, -1))
+                        pc, base + _P_SPLIT, -1, [" ".join(norm[:i])]))
 
-    digit_pos = [i for i, t in enumerate(raw_toks) if _DIGIT_TOK.match(t)]
-    if digit_pos and len(raw_toks) > 1:
-        j = digit_pos[-1]
-        base = (0.0 if j == len(raw_toks) - 1
-                else _P_HNR_LEADING if j == 0 else _P_HNR_INNER)
-        emit(raw_toks[:j] + raw_toks[j + 1:], raw_toks[j], base)
-        # dual reading: the digit stays in the name (see _P_DIGIT_NAME)
-        emit(raw_toks, None, _P_DIGIT_NAME)
+    def enum_digits(toks: list[str], base: float, pc: str | None):
+        # every digit token is a housenumber candidate at its positional
+        # penalty (the reference enumerates all positions,
+        # token_assignment.py:283-356), plus the digit-kept-in-name
+        # reading (see _P_DIGIT_NAME)
+        digit_pos = [i for i, t in enumerate(toks) if _DIGIT_TOK.match(t)]
+        if digit_pos and len(toks) > 1:
+            for j in digit_pos:
+                b = base + (0.0 if j == len(toks) - 1
+                            else _P_HNR_LEADING if j == 0 else _P_HNR_INNER)
+                emit(toks[:j] + toks[j + 1:], toks[j], b, pc)
+            emit(toks, None, base + _P_DIGIT_NAME, pc)
+        else:
+            emit(toks, None, base, pc)
+
+    # postcode windows at the edges of the token stream (cc prefix makes
+    # a 2-token window: 'CV 12345 main st' / 'main st CV 12345')
+    got, rest = _extract_pc(raw_toks)
+    if got is not None:
+        if rest:
+            enum_digits(rest, 0.0, got)
+            enum_digits(raw_toks, _P_SPLIT, None)
+        else:
+            # the whole query was a (possibly cc-prefixed) postcode
+            out.append(("", None, "", got, _P_POSTCODE, 0, []))
     else:
-        emit(raw_toks, None, 0.0)
+        enum_digits(raw_toks, 0.0, None)
 
-    # dedupe (name, hnr, addr) keeping the lowest penalty
+    # dedupe (name, hnr, addr, postcode) keeping the lowest penalty
     best: dict[tuple, tuple] = {}
     for a in out:
         k = (a[0], a[1], a[2], a[3])
@@ -156,13 +251,15 @@ def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
             norm_translit(p.strip())
             for p in (q or "").split(",") if p.strip()
         )
-        for aid, (name, hnr, addr, pc, pen, dirn) in enumerate(
+        for aid, (name, hnr, addr, pc, pen, dirn, aphr) in enumerate(
                 _assignments(q)):
-            rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full))
+            rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full,
+                         aphr))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
-                 "postcode", "apenalty", "adirection", "full_norm"],
+                 "postcode", "apenalty", "adirection", "full_norm",
+                 "addr_phrases"],
     )
 
 
@@ -178,7 +275,7 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
          ", postcode string, apenalty double, adirection int"
-         ", full_norm string")
+         ", full_norm string, addr_phrases array<string>")
 
     def run(batches):
         for pdf in batches:
@@ -302,6 +399,20 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     candidates carry their name_vector/nameaddress_vector arrays, so the
     LookupAll remainder and the whole address Restrict (J3) become JVM
     ``forall(ids, array_contains(vector, id))`` filters — no shuffle.
+
+    The plan also carries the per-assignment RANKING inputs (the
+    reference's FieldRanking lists, db_search_builder.py:299-366, applied
+    by weigh_search, ranking.sql:327-345):
+
+    * ``name_full_id`` / ``n_name`` — candidates whose name_vector holds
+      the query name's full-word token get ranking penalty 0; the rest
+      fall back to the default (sum of partial penalties + 0.2 + word
+      breaks — re-expressed as ``0.2 + 0.1*(n_name-1)``);
+    * ``addr_ranks`` — one struct per address PHRASE: its full-word token
+      id (null when not indexed) and the fallback default
+      (``0.3 + 0.1*(words-1)``, get_addr_ranking's ranks[0]+0.3 shape).
+      A candidate pays 0 for each phrase appearing as a whole name in its
+      nameaddress_vector, the default otherwise.
     """
     has_stats = "name_count" in word.columns
     toks = q.select(
@@ -369,6 +480,44 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         "name_norm", "left_semi",
     )
     agg = agg.join(F.broadcast(wfull), "name_norm", "left")
+
+    # address-phrase ranking inputs: map each phrase to its full-name 'W'
+    # id (same batch-bounded semi-join + broadcast as the name side)
+    if "addr_phrases" in q.columns:
+        ph = q.select(
+            "query_id", "assign_id",
+            F.posexplode("addr_phrases").alias("_ppos", "_phrase"),
+        )
+        wp = word.filter(F.col("type") == "W").select(
+            F.col("word_token").alias("_phrase"),
+            F.col("word_id").alias("_pid"),
+        ).join(
+            F.broadcast(ph.select("_phrase").distinct()),
+            "_phrase", "left_semi",
+        )
+        addr_ranks = (
+            ph.join(F.broadcast(wp), "_phrase", "left")
+            .groupBy("query_id", "assign_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        "_ppos",
+                        F.col("_pid").alias("id"),
+                        (F.lit(0.3) + F.lit(0.1)
+                         * (F.size(F.split("_phrase", " ")) - 1))
+                        .alias("dflt"),
+                    ))),
+                    lambda s: F.struct(s["id"].alias("id"),
+                                       s["dflt"].alias("dflt")),
+                ).alias("addr_ranks")
+            )
+        )
+        agg = agg.join(addr_ranks, ["query_id", "assign_id"], "left")
+    else:
+        agg = agg.withColumn(
+            "addr_ranks",
+            F.lit(None).cast("array<struct<id:long,dflt:double>>"),
+        )
     return agg.select(
         "query_id", "assign_id", "apenalty", "name_ids", "addr_ids",
         F.when(
@@ -376,6 +525,10 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
             & (F.col("_drive_count") >= W_LOOKUP_MIN_COUNT),
             F.col("_w_full_id"),
         ).otherwise(F.col("_drive_w")).alias("drive_id"),
+        F.col("_w_full_id").alias("name_full_id"),
+        F.col("_n_name").alias("n_name"),
+        # left-join misses keep NULL; the scorer treats NULL as empty
+        "addr_ranks",
     )
 
 
@@ -448,6 +601,8 @@ def score_hits(
         "rank_address", "importance", "lon", "lat", "housenumber",
         "norm_name", "parent_place_id", "name_vector",
         "nameaddress_vector",
+        (F.col("postcode") if "postcode" in idx.search_name.columns
+         else F.lit(None).cast("string")).alias("own_pc"),
     )
     # materialize the candidate set once: the house / interpolation /
     # fallback branches below all reuse it, and Spark does not reuse
@@ -465,8 +620,30 @@ def score_hits(
                 "forall(addr_ids, i -> array_contains(nameaddress_vector, i))"
             )
         )
-        .drop("drive_id", "name_ids", "addr_ids", "name_vector",
-              "nameaddress_vector")
+        # weigh_search (ranking.sql:327-345): fold the per-assignment
+        # FieldRanking penalties — 0 when the candidate's vector holds the
+        # query's full-word token, the ranking default otherwise.  Folded
+        # into apenalty so every downstream lane (house/interp/fallback)
+        # inherits it, like the reference's AddressSearch does.
+        .withColumn(
+            "apenalty",
+            F.col("apenalty")
+            + F.when(
+                F.col("name_full_id").isNotNull()
+                & F.expr("array_contains(name_vector, name_full_id)"),
+                F.lit(0.0),
+            ).otherwise(F.lit(0.2) + F.lit(0.1) * (F.col("n_name") - 1))
+            + F.when(F.col("addr_ranks").isNull(), F.lit(0.0)).otherwise(
+                F.expr(
+                    "aggregate(addr_ranks, 0.0D, (acc, x) -> acc + "
+                    "CASE WHEN x.id IS NOT NULL AND "
+                    "array_contains(nameaddress_vector, x.id) "
+                    "THEN 0.0D ELSE x.dflt END)"
+                )
+            ),
+        )
+        .drop("drive_id", "name_ids", "addr_ids", "name_full_id", "n_name",
+              "addr_ranks", "name_vector", "nameaddress_vector")
     )
     # ---- candidate-side search knobs (filters push below the persist so
     # excluded/out-of-layer rows never enter the cached exchange)
@@ -482,6 +659,48 @@ def score_hits(
         )
     cand = cand.persist()
     cand.count()
+
+    # ---- postcode-constrained name search (PlaceSearch's postcode
+    # penalty, place_search.py:149-163): an assignment carrying BOTH a
+    # name and a postcode keeps its name candidates but charges each one
+    # 0 when its own postcode matches, else the planar-degree distance to
+    # the query postcode's centroid (2.0 when unknown); with no address
+    # terms a flat 1.0 so PostcodeSearch outranks it.  The postcode table
+    # is semi-joined down to the batch's postcodes before the broadcast.
+    if postcodes is not None:
+        qpc = q.filter(
+            F.col("postcode").isNotNull() & (F.col("name_norm") != "")
+        ).select(
+            "query_id", "assign_id", F.upper("postcode").alias("_qpc"),
+            (F.col("addr_norm") != "").alias("_has_addr"),
+        )
+        if not qpc.isEmpty():
+            pc_cents = (
+                postcodes
+                .withColumn("_qpc", F.upper("postcode"))
+                .join(F.broadcast(qpc.select("_qpc").distinct()),
+                      "_qpc", "left_semi")
+                .groupBy("_qpc")
+                .agg(F.collect_list(F.struct("lon", "lat")).alias("_cents"))
+            )
+            min_dist = F.expr(
+                "array_min(transform(_cents, c -> "
+                "sqrt((c.lon - lon) * (c.lon - lon) + "
+                "(c.lat - lat) * (c.lat - lat))))"
+            )
+            cand = (
+                cand.join(qpc, ["query_id", "assign_id"], "left")
+                .join(F.broadcast(pc_cents), "_qpc", "left")
+                .withColumn(
+                    "apenalty",
+                    F.col("apenalty")
+                    + F.when(F.col("_qpc").isNull(), F.lit(0.0))
+                    .when(F.col("own_pc") == F.col("_qpc"), F.lit(0.0))
+                    .when(~F.col("_has_addr"), F.lit(1.0))
+                    .otherwise(F.coalesce(min_dist, F.lit(2.0))),
+                )
+                .drop("_qpc", "_has_addr", "_cents")
+            )
 
     # ---- housenumber lane: candidates that are streets get children
     qh = q.filter(F.col("hnr").isNotNull()).select(
@@ -619,9 +838,12 @@ def score_hits(
     # ---- postcode lane (PostcodeSearch, db_searches/postcode_search.py):
     # postcode-role assignments resolve against the postcode table
     if postcodes is not None:
-        qp = q.filter(F.col("postcode").isNotNull()).select(
-            "query_id", "assign_id", "postcode", "apenalty"
-        )
+        # only name-less assignments become a PostcodeSearch — with a name
+        # present the postcode acts as a candidate penalty instead (see
+        # the PlaceSearch block above; build_special_search:137-151)
+        qp = q.filter(
+            F.col("postcode").isNotNull() & (F.col("name_norm") == "")
+        ).select("query_id", "assign_id", "postcode", "apenalty")
         pc = postcodes.select(
             F.upper(F.col("postcode")).alias("postcode"),
             F.col("country_code").alias("pc_cc"),

@@ -233,12 +233,23 @@ def place_terms(named: DataFrame, areas: DataFrame,
             .filter(F.col("src_name").isNotNull())
         )
     )
+    # each address source contributes its words (w:) AND its full form
+    # (W:) — the reference's nameaddress_vector carries full-word ids so
+    # weigh_search can rank candidates whose address contains the query
+    # phrase as a whole name (create_poi_search_terms,
+    # placex_triggers.sql:394-484; ranking.sql:327-345)
     addr_terms = addr_sources.select(
         "place_id",
         F.explode(
-            F.transform(F.split("src_name", " "), lambda t: F.concat(F.lit("w:"), t))
+            F.array_union(
+                F.array(F.concat(F.lit("W:"), F.col("src_name"))),
+                F.transform(
+                    F.split("src_name", " "),
+                    lambda t: F.concat(F.lit("w:"), t),
+                ),
+            )
         ).alias("term"),
-    ).filter(F.col("term") != "w:").distinct()
+    ).filter(~F.col("term").isin("W:", "w:")).distinct()
     return name_terms, addr_terms
 
 
@@ -349,7 +360,12 @@ def _search_name_rows(named: DataFrame, name_post: DataFrame,
         F.sort_array(F.collect_list("word_id")).alias("nameaddress_vector")
     )
     return (
-        named.select(*SEARCH_NAME_BASE_COLS)
+        named.select(
+            *SEARCH_NAME_BASE_COLS,
+            # the place's own assigned postcode — PlaceSearch's exact-
+            # postcode shortcut (place_search.py:149-163) reads it
+            F.upper(F.col("address").getItem("postcode")).alias("postcode"),
+        )
         .join(name_vec, "place_id", "left")
         .join(addr_vec, "place_id", "left")
         .filter(F.col("name_vector").isNotNull())

@@ -74,7 +74,38 @@ def test_leading_housenumber_penalized():
 
 def test_postcode_only_assignment():
     a = _assignments("47000")
-    assert a == [("", None, "", "47000", pytest.approx(0.1), 0)]
+    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [])]
+
+
+def test_postcode_cc_prefix():
+    # 'CV 47000' and 'CV-47000' strip the country prefix
+    # (postcode_parser.py norm_pattern / postcode_format.py:29)
+    assert _assignments("CV 47000")[0][3] == "47000"
+    assert _assignments("CV-47000")[0][3] == "47000"
+    # all-zero forms are rejected (postcode_format.py zero_pattern)
+    assert _assignments("00000")[0][3] is None
+
+
+def test_postcode_in_address_phrase():
+    # 'street 5, 12345 city' routes the postcode to the postcode role and
+    # keeps the city as an address phrase (postcode_parser.py:49-83)
+    roles = _by_roles(_assignments("Birch Street 5, 47000 Vels"))
+    assert ("birch street", "5", "vels", "47000") in roles
+    # the no-postcode fallback reading also exists (penalized)
+    assert any(k[3] is None for k in roles)
+
+
+def test_postcode_whole_phrase():
+    roles = _by_roles(_assignments("Birch Street, 47000"))
+    assert ("birch street", None, "", "47000") in roles
+
+
+def test_postcode_trailing_unphrased():
+    roles = _by_roles(_assignments("Birch Street 47000"))
+    assert ("birch street", None, "", "47000") in roles
+    # digit housenumbers still enumerate alongside the postcode
+    roles2 = _by_roles(_assignments("Birch Street 3 47000"))
+    assert ("birch street", "3", "", "47000") in roles2
 
 
 def test_geocode_unphrased_queries(spark, index):
