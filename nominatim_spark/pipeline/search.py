@@ -47,11 +47,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nominatim_spark.functions.housenumbers import canonical_housenumber
 from nominatim_spark.functions.text import norm_translit
 from nominatim_spark.pipeline.placex import IndexTables
 
-_HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4})\s*$")
-_DIGIT_TOK = re.compile(r"^\d{1,4}$")
+_HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4}(?: ?[a-zA-Z])?)\s*$")
+_DIGIT_TOK = re.compile(r"^\d{1,4}[a-zA-Z]?$")
+_LETTER_TOK = re.compile(r"^[a-zA-Z]$")
 
 # ---- postcode recognition (postcode_parser.py:20-104 re-expression):
 # per-country patterns with an optional country-code prefix ('DE 12345',
@@ -106,9 +108,74 @@ _P_POSTCODE = 0.1
 _P_DIGIT_NAME = 0.1
 MAX_ASSIGN_TOKENS = 9  # the reference bounds assignment enumeration
 
+# special-phrase category table (the reference imports these from the
+# special-phrases wiki into word rows of TOKEN_NEAR_ITEM type,
+# icu_tokenizer.py special-phrase handling; token roles
+# token_assignment.py:53-61).  A query-leading '<category> near/in ...'
+# routes through NearSearch chaining (J18); a category-only query becomes
+# a PoiSearch (viewbox-constrained).
+NEAR_PHRASES: dict[str, tuple[str, str]] = {
+    "restaurant": ("amenity", "restaurant"),
+    "restaurants": ("amenity", "restaurant"),
+    "cafe": ("amenity", "cafe"),
+    "cafes": ("amenity", "cafe"),
+    "bar": ("amenity", "bar"),
+    "pharmacy": ("amenity", "pharmacy"),
+    "school": ("amenity", "school"),
+    "hotel": ("tourism", "hotel"),
+    "hotels": ("tourism", "hotel"),
+    "supermarket": ("shop", "supermarket"),
+}
 
-def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]:
-    """Enumerate (name, hnr, addr, postcode, penalty) role assignments.
+
+def _near_split(q: str) -> tuple[str | None, str] | None:
+    """'<category> near <rest>' / '<category> in <rest>' -> (near_key,
+    rest); None when the query is not near-item shaped.  A deliberate
+    narrowing of the reference's free near_item placement
+    (token_assignment.py:115-123): the batch engine only routes the
+    explicit connector forms, so ordinary names containing category
+    words ('Cafe Amber') never fan out into near readings."""
+    toks = q.split(None, 2)
+    if (len(toks) >= 3 and toks[0].lower() in NEAR_PHRASES
+            and toks[1].lower() in ("near", "in")):
+        cls, typ = NEAR_PHRASES[toks[0].lower()]
+        return f"{cls}|{typ}", toks[2]
+    return None
+
+
+def _assignments(q: str) -> list[tuple]:
+    """Enumerate (name, hnr, addr, postcode, penalty, direction,
+    addr_phrases, near_key) role assignments.
+
+    Near-item readings (db_search_builder.py:86-118): the near-shaped
+    prefix is stripped and every assignment of the REMAINDER (the anchor)
+    is emitted with ``near_key`` set; the literal reading is kept too
+    (the reference also yields both) and dies in the plan stage unless
+    'near' really is an indexed word.  A category-only query yields the
+    PoiSearch assignment (build_poi_search:121-128)."""
+    base = q or ""
+    first = base.split(",", 1)[0].strip()
+    if first.lower() in NEAR_PHRASES and first.lower() == base.strip().lower():
+        cls, typ = NEAR_PHRASES[first.lower()]
+        return [("", None, "", None, 0.2, 0, [], f"{cls}|{typ}")]
+    out: list[tuple] = []
+    ns = _near_split(base)
+    if ns is not None:
+        nk, rest = ns
+        out += [(*a, nk) for a in _enumerate_assignments(rest)]
+    out += [(*a, None) for a in _enumerate_assignments(base)]
+    # dedupe (name, hnr, addr, postcode, near_key) keeping lowest penalty
+    best: dict[tuple, tuple] = {}
+    for a in out:
+        k = (a[0], a[1], a[2], a[3], a[7])
+        if k not in best or a[4] < best[k][4]:
+            best[k] = a
+    return list(best.values())
+
+
+def _enumerate_assignments(q: str) -> list[tuple]:
+    """Enumerate (name, hnr, addr, postcode, penalty, direction,
+    addr_phrases) role assignments.
 
     Re-expresses yield_token_assignments (src/nominatim_api/search/
     token_assignment.py:402-440) for the batch engine:
@@ -151,7 +218,12 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
         def emit_phrased(nm: str, base: float):
             m = _HNR_RE.match(nm)
             if m and m.group(1).strip():
-                out.append((norm_translit(m.group(1).strip()), m.group(2),
+                # canonical form ('4 a'/'4a' -> '4␣a') so the house join
+                # matches the index's canonical housenumber lists — the
+                # batch analog of the reference's word-boundary RegexpWord
+                # match (sqlalchemy_functions.py:204-218)
+                out.append((norm_translit(m.group(1).strip()),
+                            canonical_housenumber(m.group(2).lower()),
                             addr, pc, base, 0, aphr))
                 # dual reading: the digit stays in the name (places named
                 # with a number — see _P_DIGIT_NAME)
@@ -197,6 +269,7 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
             if pc is not None:
                 out.append(("", None, "", pc, base + _P_POSTCODE, 0, []))
             return
+        hnr = canonical_housenumber(hnr.lower()) if hnr else None
         norm = [norm_translit(t) for t in toks]
         out.append((" ".join(norm), hnr, "", pc, base, 0, []))
         for i in range(1, n):
@@ -218,6 +291,16 @@ def _assignments(q: str) -> list[tuple[str, str | None, str, str | None, float]]
                 b = base + (0.0 if j == len(toks) - 1
                             else _P_HNR_LEADING if j == 0 else _P_HNR_INNER)
                 emit(toks[:j] + toks[j + 1:], toks[j], b, pc)
+                # spaced letter suffix: '4 a' reads as housenumber '4 a'
+                # (canonicalized to the index's '4␣a' form — RegexpWord
+                # boundary-match parity)
+                if (j + 1 < len(toks) and toks[j].isdigit()
+                        and _LETTER_TOK.match(toks[j + 1])):
+                    b2 = base + (0.0 if j + 1 == len(toks) - 1
+                                 else _P_HNR_LEADING if j == 0
+                                 else _P_HNR_INNER)
+                    emit(toks[:j] + toks[j + 2:],
+                         toks[j] + " " + toks[j + 1], b2, pc)
             emit(toks, None, base + _P_DIGIT_NAME, pc)
         else:
             emit(toks, None, base, pc)
@@ -251,15 +334,15 @@ def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
             norm_translit(p.strip())
             for p in (q or "").split(",") if p.strip()
         )
-        for aid, (name, hnr, addr, pc, pen, dirn, aphr) in enumerate(
+        for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk) in enumerate(
                 _assignments(q)):
             rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full,
-                         aphr))
+                         aphr, nk))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
                  "postcode", "apenalty", "adirection", "full_norm",
-                 "addr_phrases"],
+                 "addr_phrases", "near_key"],
     )
 
 
@@ -275,7 +358,8 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
          ", postcode string, apenalty double, adirection int"
-         ", full_norm string, addr_phrases array<string>")
+         ", full_norm string, addr_phrases array<string>"
+         ", near_key string")
 
     def run(batches):
         for pdf in batches:
@@ -555,6 +639,7 @@ def score_hits(
     bounded_viewbox: bool = False,
     layers: list[str] | None = None,
     excluded_place_ids: list[int] | None = None,
+    near_radius_deg: float = 0.02,
 ) -> DataFrame:
     """All scored candidate hits per query (the ranked union the final
     top-1/top-k cuts operate on).
@@ -885,6 +970,112 @@ def score_hits(
             "penalty",
             F.col("penalty") + F.when(outside, F.lit(1.0)).otherwise(F.lit(0.0)),
         )
+
+    # ---- near-item chaining (NearSearch wrap, db_search_builder.py:
+    # 86-118 + db_searches/near_search.py): assignments carrying a
+    # near_key resolve their name/addr as an ANCHOR, then the hit becomes
+    # the nearest place of the requested category around it (J18's
+    # disk-cell join — never an all-pairs product).  Category-only
+    # assignments become a PoiSearch, valid only with a bounded viewbox
+    # (build_poi_search:121-128).  The flagship path short-circuits on
+    # the cheap persisted-parse isEmpty probes.
+    nk = q.filter(
+        F.col("near_key").isNotNull() & (F.col("name_norm") != "")
+    ).select("query_id", "assign_id", "near_key")
+    qpoi = q.filter(
+        F.col("near_key").isNotNull() & (F.col("name_norm") == "")
+    ).select("query_id", "assign_id", "near_key", "apenalty")
+    has_near = not nk.isEmpty()
+    has_poi = (viewbox is not None and bounded_viewbox
+               and not qpoi.isEmpty())
+    if has_near or has_poi:
+        from nominatim_spark.operators.spatial import within_distance_join
+
+        px = idx.placex
+        if "linked_place_id" in px.columns:
+            px = px.filter(F.col("linked_place_id").isNull())
+        cats = px.select(
+            F.col("place_id").alias("c_pid"),
+            F.col("osm_type").alias("c_ot"), F.col("osm_id").alias("c_oid"),
+            F.col("class").alias("c_cls"), F.col("type").alias("c_typ"),
+            F.col("rank_search").alias("c_rs"),
+            F.col("rank_address").alias("c_ra"),
+            F.coalesce(F.col("importance"), F.lit(0.0)).alias("c_imp"),
+            F.col("lon").alias("c_lon"), F.col("lat").alias("c_lat"),
+            F.concat_ws("|", "class", "type").alias("c_key"),
+        )
+
+        def _cat_hit_cols(pen_col, id_col="c_pid"):
+            return [
+                "query_id", "assign_id",
+                F.col(id_col).alias("place_id"),
+                F.col("c_ot").alias("osm_type"),
+                F.col("c_oid").alias("osm_id"),
+                F.col("c_cls").alias("class"), F.col("c_typ").alias("type"),
+                F.col("c_rs").alias("rank_search"),
+                F.col("c_ra").alias("rank_address"),
+                F.col("c_imp").alias("importance"),
+                F.col("c_lon").alias("lon"), F.col("c_lat").alias("lat"),
+                F.lit(None).cast("string").alias("housenumber"),
+                pen_col.alias("penalty"),
+                F.lit(0.0).alias("text_dist"),
+            ]
+
+    if has_near:
+        anchors = (
+            all_hits.join(nk, ["query_id", "assign_id"])
+            .groupBy("query_id", "assign_id", "near_key")
+            .agg(F.expr(
+                "min_by(struct(lon, lat, penalty), "
+                "struct(penalty, text_dist, -importance, place_id))"
+            ).alias("_a"))
+            .select(
+                "query_id", "assign_id", "near_key",
+                F.concat_ws("#", F.col("query_id").cast("string"),
+                            F.col("assign_id").cast("string")).alias("_akey"),
+                F.col("_a.lon").alias("lon"), F.col("_a.lat").alias("lat"),
+                F.col("_a.penalty").alias("a_pen"),
+            )
+        )
+        near_cats = cats.join(
+            F.broadcast(
+                nk.select(F.col("near_key").alias("c_key")).distinct()),
+            "c_key", "left_semi",
+        )
+        nh = within_distance_join(
+            anchors.select("_akey", "lon", "lat"),
+            near_cats.select(F.col("c_pid").alias("cand_id"),
+                             F.col("c_lon").alias("lon"),
+                             F.col("c_lat").alias("lat")),
+            radius_deg=near_radius_deg,
+            point_key="_akey", cand_key="cand_id",
+        )
+        nh = (
+            nh.join(anchors.select("_akey", "query_id", "assign_id",
+                                   "near_key", "a_pen"), "_akey")
+            .join(near_cats.withColumnRenamed("c_pid", "cand_id"), "cand_id")
+            .filter(F.col("c_key") == F.col("near_key"))
+        )
+        wn = Window.partitionBy("_akey").orderBy("dist2", "cand_id")
+        near_hits = (
+            nh.withColumn("_rn", F.row_number().over(wn))
+            .filter("_rn = 1")
+            .select(*_cat_hit_cols(F.col("a_pen"), id_col="cand_id"))
+        )
+        all_hits = all_hits.join(
+            nk.select("query_id", "assign_id"),
+            ["query_id", "assign_id"], "left_anti",
+        ).unionByName(near_hits)
+    if has_poi:
+        vx0, vy0, vx1, vy1 = viewbox
+        poi_hits = (
+            qpoi.join(cats.withColumnRenamed("c_key", "near_key"),
+                      "near_key")
+            .filter(F.col("c_lon").between(vx0, vx1)
+                    & F.col("c_lat").between(vy0, vy1))
+            .select(*_cat_hit_cols(F.col("apenalty")))
+        )
+        all_hits = all_hits.unionByName(poi_hits)
 
     # penalty already folds the assignment penalty (weigh_search analog:
     # the cheapest assignment whose lanes matched wins, ranking.sql:327-345)

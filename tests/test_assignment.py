@@ -74,7 +74,7 @@ def test_leading_housenumber_penalized():
 
 def test_postcode_only_assignment():
     a = _assignments("47000")
-    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [])]
+    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [], None)]
 
 
 def test_postcode_cc_prefix():
@@ -228,6 +228,88 @@ def test_near_search_category(spark, index):
     assert best.osm_id == 100000  # POI 0 is the anchor itself
     assert best.dist2 <= 1e-9
     assert all(r["class"] == "amenity" for r in res)
+
+
+def test_near_item_assignment():
+    a = _assignments("restaurant near Birch Street, Vels")
+    near = [x for x in a if x[7] == "amenity|restaurant"]
+    plain = [x for x in a if x[7] is None]
+    # anchor readings with the category stripped…
+    assert ("birch street", None, "vels") in {
+        (x[0], x[1], x[2]) for x in near}
+    # …and the literal reading survives (dies in the plan stage)
+    assert plain
+    # category-only query -> PoiSearch assignment
+    poi = _assignments("restaurant")
+    assert poi == [("", None, "", None, 0.2, 0, [], "amenity|restaurant")]
+
+
+def test_housenumber_letter_suffix_variants(spark):
+    """'4a' and '4 a' must both match a house indexed either way — the
+    batch analog of the reference's word-boundary RegexpWord housenumber
+    match (sqlalchemy_functions.py:204-218): both sides canonicalize to
+    the optional-space marker form."""
+    from pyspark.sql import functions as F
+    from nominatim_spark.pipeline.placex import IndexTables
+
+    sn = spark.createDataFrame(
+        [(601, "W", 601, "highway", "residential", 26, 26, 0.2, 9.0, 47.0,
+          None, "foo bar", None, [1, 2], [1, 2], []),
+         (602, "N", 602, "building", "yes", 30, 30, 0.0, 9.001, 47.0,
+          "4␣a", "foo bar", 601, [1, 2], [1, 2], ["4␣a"])],
+        "place_id long, osm_type string, osm_id long, class string, "
+        "type string, rank_search int, rank_address int, importance double, "
+        "lon double, lat double, housenumber string, norm_name string, "
+        "parent_place_id long, name_vector array<long>, "
+        "nameaddress_vector array<long>, housenumbers array<string>",
+    )
+    word = spark.createDataFrame(
+        [(1, "foo", "w", 5), (2, "bar", "w", 5)],
+        "word_id long, word_token string, type string, name_count long",
+    ).withColumn("addr_count", F.lit(0).cast("long"))
+    posts = sn.select("place_id", F.explode("name_vector").alias("word_id"))
+    idx = IndexTables(placex=sn, search_name=sn, word=word,
+                      name_postings=posts.select("word_id", "place_id"),
+                      addr_postings=posts.select("word_id", "place_id"))
+    q = spark.createDataFrame(
+        [("a", "foo bar 4a"), ("b", "foo bar 4 a"), ("c", "foo bar 4A")],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(spark, idx, q).collect()}
+    for k in ("a", "b", "c"):
+        assert res[k].place_id == 602, k
+
+
+def test_geocode_near_item_routing(spark, index):
+    """'restaurant near <street>, <city>' resolves the street as the
+    anchor, then returns the nearest amenity/restaurant around it via the
+    J18 disk-cell join (db_search_builder near_item chaining)."""
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("n1", f"restaurant near {synth.street_name(0, 0)}, "
+                f"{synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(
+        spark, idx, q, osmline=osmline, near_radius_deg=0.1).collect()}
+    r = res["n1"]
+    assert r["class"] == "amenity" and r.type == "restaurant"
+    # POI 100001 sits nearer the street-0 centroid than POI 100000
+    assert (r.osm_type, r.osm_id) == ("N", 100001)
+
+
+def test_geocode_poi_search_bounded_viewbox(spark, index):
+    idx, osmline = index
+    cx, cy = synth.city_center(0)
+    q = spark.createDataFrame([("p1", "restaurant")],
+                              "query_id string, qtext string")
+    res = geocode(spark, idx, q, osmline=osmline,
+                  viewbox=(cx - 0.2, cy - 0.2, cx + 0.2, cy + 0.2),
+                  bounded_viewbox=True).collect()
+    assert len(res) == 1 and res[0]["class"] == "amenity"
+    # without a bounded viewbox the PoiSearch is not built (reference
+    # build_poi_search guard) — no result
+    assert geocode(spark, idx, q, osmline=osmline).isEmpty()
 
 
 def test_geocode_postcode_lane(spark, index):
