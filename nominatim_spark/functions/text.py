@@ -97,6 +97,38 @@ def normalize(s: str) -> str:
     return s.strip()
 
 
+# Pinned Latin-fold table for letters NFKD cannot decompose plus Greek
+# and Cyrillic romanization — the ':: Latin' + extended-unicode-to-ascii
+# stage of the reference's transliteration ruleset
+# (settings/icu_tokenizer.yaml:19-28, settings/icu-rules/
+# extended-unicode-to-asccii.yaml).  A deliberately compact re-expression:
+# the long tail of the reference's 4900-entry table (IPA, historic
+# letters) is dropped-by-filter here, while the letters that actually
+# appear in place names round-trip.  Pinned = the engine's dictionary is
+# versioned on this exact table; both index and query sides share it.
+_FOLD_TABLE = {
+    "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d", "þ": "th",
+    "ħ": "h", "ł": "l", "ŋ": "n", "ĸ": "k", "ſ": "s", "ı": "i",
+    "ƒ": "f", "ȷ": "j",
+    # Greek (ICU Greek-Latin semantics, modern values)
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "i", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "y", "φ": "f", "χ": "ch", "ψ": "ps",
+    "ω": "o",
+    # Cyrillic (pinned romanization)
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ё": "e", "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k",
+    "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "у": "u", "ф": "f", "х": "h", "ц": "ts",
+    "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "", "ы": "y", "ь": "",
+    "э": "e", "ю": "yu", "я": "ya",
+    # Ukrainian / Serbian extras
+    "і": "i", "ї": "yi", "є": "ye", "ґ": "g", "ђ": "dj", "ј": "j",
+    "љ": "lj", "њ": "nj", "ћ": "c", "џ": "dz",
+}
+
+
 def transliterate(s: str) -> str:
     """Transliteration stage (icu_tokenizer.yaml:19-28 semantics)."""
     if s is None:
@@ -105,6 +137,7 @@ def transliterate(s: str) -> str:
     s = unicodedata.normalize("NFKD", s)
     s = "".join(ch for ch in s if not unicodedata.combining(ch))
     s = s.lower().replace("ß", "ss")
+    s = "".join(_FOLD_TABLE.get(ch, ch) for ch in s)
     s = _TRANS_DROP_RE.sub("", s)
     s = _MULTISPACE_RE.sub(" ", s)
     return s.strip()

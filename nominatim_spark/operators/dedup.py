@@ -134,13 +134,23 @@ def simhash_pairs_banded(df: DataFrame, col: str = "text",
 
 def ngram_jaccard_pairs(
     df: DataFrame, col: str = "text", key: str = "doc_id",
-    n: int = 3, threshold: float = 0.4,
+    n: int = 3, threshold: float = 0.4, max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity pairs >= threshold.
 
     Distinct n-gram shingles per doc; self-join on shingle for |A∩B|;
     |A∪B| = |A| + |B| - |A∩B|.  jacc is rounded to 6 decimals (exact
     rational arithmetic on counts — bit-identical in any engine).
+
+    ``max_df``: optional stop-shingle cap for scale — shingles appearing
+    in more than ``max_df`` documents are dropped BEFORE the self-join
+    (both from intersections and set sizes, so Jaccard stays internally
+    consistent over the capped shingle space).  Without it a single
+    ultra-common shingle ('of the city') fans out O(df²) inside its join
+    bucket, the classic skew killer at 100 TB.  Recall trade: a pair
+    similar ONLY through dropped stop-shingles is missed — same contract
+    as the MinHash/LSH paths' banding recall, so OFF by default and the
+    oracle runs the exact form.
     """
     toks = TOKENIZE_EXPR.format(col=col)
     # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — short docs must
@@ -158,6 +168,14 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
+    if max_df is not None:
+        shingles = shingles.join(
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle"),
+            "shingle", "left_semi",
+        )
     sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(key).alias("doc_a"), "shingle")
     b = shingles.select(F.col(key).alias("doc_b"), "shingle")

@@ -88,23 +88,96 @@ def clean_housenumbers(df: DataFrame) -> DataFrame:
     )
 
 
-SANITIZERS: dict[str, Callable[[DataFrame], DataFrame]] = {
+def clean_postcodes(df: DataFrame, convert_to_address: bool = True,
+                    ) -> DataFrame:
+    """Filter address postcodes by their official per-country pattern
+    (sanitizers/clean_postcodes.py + data/postcode_format.py:18-58).
+
+    Conforming postcodes are normalized (uppercased, optional country-code
+    prefix stripped); non-conforming ones move to the non-centroid
+    ``unofficial_postcode`` key (``convert_to_address``, the default) or
+    are dropped.  All-zero forms are rejected (zero_pattern).  Rows
+    without a country keep no postcode (the reference's
+    country_without_postcode default).  No-op when the frame carries no
+    country_code column (sanitizer unit-tests on bare name frames)."""
+    from nominatim_spark.pipeline.postcodes import POSTCODE_PATTERNS
+
+    if "country_code" not in df.columns:
+        return df
+    pc = F.upper(F.trim(F.col("address").getItem("postcode")))
+    norm = None
+    for cc, pat in POSTCODE_PATTERNS.items():
+        body = pat.lstrip("^").rstrip("$")
+        rx = f"^(?:{cc.upper()}[ -]?)?({body})$"
+        ext = F.regexp_extract(pc, rx, 1)
+        cond = (
+            (F.col("country_code") == cc)
+            & (ext != "")
+            & ~ext.rlike(r"^[0\- ]+$")
+        )
+        norm = (F.when(cond, ext) if norm is None
+                else norm.when(cond, ext))
+    norm = norm.otherwise(F.lit(None).cast("string"))
+    keep_bad = (
+        F.create_map(F.lit("unofficial_postcode"), pc)
+        if convert_to_address
+        else F.expr("map()").cast("map<string,string>")
+    )
+    rewritten = F.map_concat(
+        F.expr("map_filter(address, (k, v) -> "
+               "k NOT IN ('postcode', 'unofficial_postcode'))"),
+        F.when(pc.isNull(), F.expr("map()").cast("map<string,string>"))
+        .when(norm.isNotNull(), F.create_map(F.lit("postcode"), norm))
+        .otherwise(keep_bad),
+    )
+    return df.withColumn(
+        "address",
+        F.when(F.col("address").isNull(), F.col("address"))
+        .otherwise(rewritten),
+    )
+
+
+def delete_names(df: DataFrame, name: str = "",
+                 ) -> DataFrame:
+    """Remove searchable names fully matching the ``name`` regex
+    (sanitizers/delete_tags.py / delete-names: filter-name semantics for
+    the batch engine's flat _names list)."""
+    if not name:
+        return df
+    return df.withColumn(
+        "_names",
+        F.filter("_names", lambda n: ~n.rlike(f"^(?:{name})$")),
+    )
+
+
+SANITIZERS: dict[str, Callable[..., DataFrame]] = {
     "split-name-list": split_name_list,
     "strip-brace-terms": strip_brace_terms,
     "clean-names": clean_names,
     "clean-housenumbers": clean_housenumbers,
+    "clean-postcodes": clean_postcodes,
+    "delete-names": delete_names,
 }
 
-DEFAULT_CHAIN = [
+DEFAULT_CHAIN: list = [
     "split-name-list", "strip-brace-terms", "clean-names",
-    "clean-housenumbers",
+    "clean-housenumbers", "clean-postcodes",
 ]
 
 
 def apply_sanitizers(placex: DataFrame,
-                     chain: list[str] | None = None) -> DataFrame:
-    """Seed _names/_hnrs and run the sanitizer chain in order."""
+                     chain: list | None = None) -> DataFrame:
+    """Seed _names/_hnrs and run the sanitizer chain in order.
+
+    Chain entries are either a sanitizer name or a config dict
+    ``{"step": <name>, **kwargs}`` — the reference's ``sanitizers:``
+    config-list semantics (sanitizer_config.py)."""
     df = seed_columns(placex)
-    for name in (chain if chain is not None else DEFAULT_CHAIN):
-        df = SANITIZERS[name](df)
+    for entry in (chain if chain is not None else DEFAULT_CHAIN):
+        if isinstance(entry, str):
+            df = SANITIZERS[entry](df)
+        else:
+            kw = {k.replace("-", "_"): v
+                  for k, v in entry.items() if k != "step"}
+            df = SANITIZERS[entry["step"]](df, **kw)
     return df

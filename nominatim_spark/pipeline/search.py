@@ -327,9 +327,11 @@ def _enumerate_assignments(q: str) -> list[tuple]:
     return list(best.values())
 
 
-def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
+def _parse_batch(qtext: pd.Series, pre=None) -> pd.DataFrame:
     rows = []
     for pos, q in enumerate(qtext):
+        if pre is not None and q:
+            q = pre(q)
         full = " ".join(
             norm_translit(p.strip())
             for p in (q or "").split(",") if p.strip()
@@ -346,14 +348,22 @@ def _parse_batch(qtext: pd.Series) -> pd.DataFrame:
     )
 
 
-def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
+def parse_queries(queries: DataFrame, text_col: str = "qtext",
+                  preprocessors: list | None = None) -> DataFrame:
     """Explode each query into its role assignments: one row per
     (query, assignment) with name_norm / hnr / addr_norm / postcode /
     apenalty / adirection columns (plus the full normalized query for the
     direction-penalty stats).  Comma-phrased queries produce one aligned
     assignment (plus the digit-kept-in-name dual reading when a trailing
     housenumber was split off — that reading dies before any posting join
-    unless the digit really is an indexed name word)."""
+    unless the digit really is an indexed name word).
+
+    ``preprocessors``: query-preprocessing chain config (see
+    pipeline/preprocess.py) applied to each query text before
+    assignment enumeration; defaults to the standard chain."""
+    from nominatim_spark.pipeline.preprocess import compile_chain
+
+    pre = compile_chain(preprocessors)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
@@ -363,7 +373,7 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            parsed = _parse_batch(pdf[text_col])
+            parsed = _parse_batch(pdf[text_col], pre=pre)
             base = pdf.reset_index(drop=True)
             merged = base.iloc[parsed["_pos"]].reset_index(drop=True)
             yield pd.concat(
@@ -640,6 +650,7 @@ def score_hits(
     layers: list[str] | None = None,
     excluded_place_ids: list[int] | None = None,
     near_radius_deg: float = 0.02,
+    preprocessors: list | None = None,
 ) -> DataFrame:
     """All scored candidate hits per query (the ranked union the final
     top-1/top-k cuts operate on).
@@ -660,7 +671,8 @@ def score_hits(
     # persist the parsed assignments BEFORE the direction fold — the fold
     # reads the parse output three times (split filter, token explode,
     # main flow) and the Python parse must run exactly once
-    parsed = parse_queries(queries, text_col).persist()
+    parsed = parse_queries(queries, text_col,
+                           preprocessors=preprocessors).persist()
     q = _fold_direction_penalty(parsed, idx.word).persist()
 
     # ---- planned lookup (J1 LookupAll + J3 Restrict, stats-driven):

@@ -244,6 +244,36 @@ def test_near_item_assignment():
     assert poi == [("", None, "", None, 0.2, 0, [], "amenity|restaurant")]
 
 
+def test_query_preprocessors():
+    from nominatim_spark.pipeline.preprocess import (
+        compile_chain, split_japanese_phrases)
+    # undelimited Japanese address splits at suffix characters
+    # (query_preprocessing/split_japanese_phrases.py:18-60)
+    assert split_japanese_phrases("東京都千代田区丸の内") == "東京都 千代田区 丸の内"
+    assert split_japanese_phrases("千代田区丸の内") == "千代田区 丸の内"
+    assert split_japanese_phrases("plain text") == "plain text"
+    # ordered regex-replace rules (regex_replace.py:24-50)
+    pre = compile_chain([
+        {"step": "regex-replace",
+         "replacements": [{"pattern": r"\bStret\b", "replace": "Street"}]},
+    ])
+    assert pre("Birch Stret 3") == "Birch Street 3"
+
+
+def test_geocode_with_regex_preprocessor(spark, index):
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("r1", f"Birch Stret, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    rules = [{"step": "regex-replace",
+              "replacements": [{"pattern": r"\bStret\b",
+                                "replace": "Street"}]}]
+    res = geocode(spark, idx, q, osmline=osmline,
+                  preprocessors=rules).collect()
+    assert len(res) == 1 and (res[0].osm_type, res[0].osm_id) == ("W", 10000)
+
+
 def test_housenumber_letter_suffix_variants(spark):
     """'4a' and '4 a' must both match a house indexed either way — the
     batch analog of the reference's word-boundary RegexpWord housenumber

@@ -78,6 +78,20 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 6) not in pairs
 
 
+def test_ngram_jaccard_df_cap_equals_brute_on_planted_dups(spark, docs):
+    """With a cap above every shingle's document frequency the capped
+    form is bit-equal to brute force; with cap 0 every shingle drops and
+    no pair survives (the recall trade is total by construction)."""
+    brute = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jacc
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, threshold=0.3, max_df=1000).collect()}
+    assert brute == capped and (1, 2) in capped
+    assert not dedup.ngram_jaccard_pairs(docs, threshold=0.3,
+                                         max_df=0).collect()
+
+
 def test_embedding_neardup_and_lsh(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

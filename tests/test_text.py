@@ -42,6 +42,23 @@ def test_transliterate():
     assert text.transliterate("x   y") == "x y"
 
 
+def test_transliterate_fold_table():
+    """Letters NFKD cannot decompose plus Greek/Cyrillic romanize via the
+    pinned fold table (the ':: Latin' / extended-unicode-to-ascii stage,
+    icu_tokenizer.yaml:19-28) instead of being dropped."""
+    assert text.transliterate("Ærøskøbing") == "aeroskobing"
+    assert text.transliterate("Łódź") == "lodz"
+    assert text.transliterate("Þórshöfn") == "thorshofn"
+    assert text.transliterate("Đakovo") == "dakovo"
+    assert text.norm_translit("Straße") == "strasse"
+    assert text.transliterate("Αθήνα") == "athina"
+    assert text.transliterate("Москва") == "moskva"
+    # NFKD decomposes ї -> і + diaeresis before the fold, so the pinned
+    # romanization is the base-letter form
+    assert text.transliterate("Київ") == "kiiv"
+    assert text.transliterate("Београд") == "beograd"
+
+
 def test_norm_translit_deterministic_and_idempotent():
     samples = ["Rue de l'Église", "Bāyern München e.V.", "  spaced   out  ", "１２３"]
     for s in samples:

@@ -86,6 +86,50 @@ def test_sanitizers_chain(spark):
     assert out[2]._hnrs == ["8"]
 
 
+def test_clean_postcodes_sanitizer(spark):
+    """clean-postcodes (sanitizers/clean_postcodes.py): conforming
+    postcodes normalize (cc prefix stripped, uppercased), non-conforming
+    and all-zero ones move to unofficial_postcode, countryless rows keep
+    none official."""
+    pdf = pd.DataFrame({
+        "country_code": ["cv", "cv", "cv", "cv", "gb", None],
+        "name": [{"name": "x"}] * 6,
+        "address": [
+            {"postcode": "47000", "street": "s"},
+            {"postcode": "cv 47000"},
+            {"postcode": "473"},
+            {"postcode": "00000"},
+            {"postcode": "sw1a 1aa"},
+            {"postcode": "47000"},
+        ],
+    })
+    df = spark.createDataFrame(
+        pdf, "country_code string, name map<string,string>, "
+             "address map<string,string>",
+    )
+    out = [r.address for r in apply_sanitizers(df).collect()]
+    assert out[0] == {"postcode": "47000", "street": "s"}
+    assert out[1] == {"postcode": "47000"}
+    assert out[2] == {"unofficial_postcode": "473"}
+    assert out[3] == {"unofficial_postcode": "00000"}
+    assert out[4] == {"postcode": "SW1A 1AA"}
+    assert out[5] == {"unofficial_postcode": "47000"}
+
+
+def test_delete_names_sanitizer(spark):
+    pdf = pd.DataFrame({
+        "name": [{"name": "Keep Me;Drop Me"}],
+        "address": [{}],
+    })
+    df = spark.createDataFrame(
+        pdf, "name map<string,string>, address map<string,string>"
+    )
+    chain = ["split-name-list",
+             {"step": "delete-names", "name": "Drop .*"}]
+    out = apply_sanitizers(df, chain).head()
+    assert out._names == ["Keep Me"]
+
+
 @pytest.fixture(scope="module")
 def index(spark, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt_variants"))
