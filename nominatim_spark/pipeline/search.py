@@ -391,7 +391,8 @@ _LINFAC = [
 ]
 
 
-def _fold_direction_penalty(q: DataFrame, word: DataFrame) -> DataFrame:
+def _fold_direction_penalty(q: DataFrame, word: DataFrame,
+                            enabled: bool | None = None) -> DataFrame:
     """Stats-driven direction penalty (query.py:333-346 + F14).
 
     Each query token's name_address_ratio (name vs address posting counts,
@@ -406,9 +407,12 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame) -> DataFrame:
     spark = q.sparkSession
     # only queries with split assignments can absorb the penalty — for
     # comma-phrased workloads (the flagship path) there are none and the
-    # whole fold short-circuits (one cheap scan of the cached parse)
+    # whole fold short-circuits (``enabled`` carries the batched metadata
+    # probe from score_hits; standalone callers probe here)
+    if enabled is False:
+        return q
     split_q = q.filter(F.col("adirection") != 0).select("query_id").distinct()
-    if split_q.isEmpty():
+    if enabled is None and split_q.isEmpty():
         return q
     toks = (
         q.select("query_id", "full_norm").distinct()
@@ -673,7 +677,23 @@ def score_hits(
     # main flow) and the Python parse must run exactly once
     parsed = parse_queries(queries, text_col,
                            preprocessors=preprocessors).persist()
-    q = _fold_direction_penalty(parsed, idx.word).persist()
+    # ONE metadata probe over the cached parse feeds every conditional
+    # lane below — replaces four serial isEmpty() driver round trips
+    # (direction fold, postcode penalty, near chain, poi search)
+    _fl = parsed.agg(
+        F.max((F.col("adirection") != 0).cast("int")).alias("split"),
+        F.max((F.col("postcode").isNotNull()
+               & (F.col("name_norm") != "")).cast("int")).alias("pc_name"),
+        F.max((F.col("near_key").isNotNull()
+               & (F.col("name_norm") != "")).cast("int")).alias("near"),
+        F.max((F.col("near_key").isNotNull()
+               & (F.col("name_norm") == "")).cast("int")).alias("poi"),
+    ).head()
+    has_split, has_pc_name, has_near, has_poi = (
+        bool(_fl["split"]), bool(_fl["pc_name"]),
+        bool(_fl["near"]), bool(_fl["poi"]))
+    q = _fold_direction_penalty(parsed, idx.word,
+                                enabled=has_split).persist()
 
     # ---- planned lookup (J1 LookupAll + J3 Restrict, stats-driven):
     # ONE posting join, driven by each assignment's rarest name token
@@ -764,40 +784,39 @@ def score_hits(
     # the query postcode's centroid (2.0 when unknown); with no address
     # terms a flat 1.0 so PostcodeSearch outranks it.  The postcode table
     # is semi-joined down to the batch's postcodes before the broadcast.
-    if postcodes is not None:
+    if postcodes is not None and has_pc_name:
         qpc = q.filter(
             F.col("postcode").isNotNull() & (F.col("name_norm") != "")
         ).select(
             "query_id", "assign_id", F.upper("postcode").alias("_qpc"),
             (F.col("addr_norm") != "").alias("_has_addr"),
         )
-        if not qpc.isEmpty():
-            pc_cents = (
-                postcodes
-                .withColumn("_qpc", F.upper("postcode"))
-                .join(F.broadcast(qpc.select("_qpc").distinct()),
-                      "_qpc", "left_semi")
-                .groupBy("_qpc")
-                .agg(F.collect_list(F.struct("lon", "lat")).alias("_cents"))
+        pc_cents = (
+            postcodes
+            .withColumn("_qpc", F.upper("postcode"))
+            .join(F.broadcast(qpc.select("_qpc").distinct()),
+                  "_qpc", "left_semi")
+            .groupBy("_qpc")
+            .agg(F.collect_list(F.struct("lon", "lat")).alias("_cents"))
+        )
+        min_dist = F.expr(
+            "array_min(transform(_cents, c -> "
+            "sqrt((c.lon - lon) * (c.lon - lon) + "
+            "(c.lat - lat) * (c.lat - lat))))"
+        )
+        cand = (
+            cand.join(qpc, ["query_id", "assign_id"], "left")
+            .join(F.broadcast(pc_cents), "_qpc", "left")
+            .withColumn(
+                "apenalty",
+                F.col("apenalty")
+                + F.when(F.col("_qpc").isNull(), F.lit(0.0))
+                .when(F.col("own_pc") == F.col("_qpc"), F.lit(0.0))
+                .when(~F.col("_has_addr"), F.lit(1.0))
+                .otherwise(F.coalesce(min_dist, F.lit(2.0))),
             )
-            min_dist = F.expr(
-                "array_min(transform(_cents, c -> "
-                "sqrt((c.lon - lon) * (c.lon - lon) + "
-                "(c.lat - lat) * (c.lat - lat))))"
-            )
-            cand = (
-                cand.join(qpc, ["query_id", "assign_id"], "left")
-                .join(F.broadcast(pc_cents), "_qpc", "left")
-                .withColumn(
-                    "apenalty",
-                    F.col("apenalty")
-                    + F.when(F.col("_qpc").isNull(), F.lit(0.0))
-                    .when(F.col("own_pc") == F.col("_qpc"), F.lit(0.0))
-                    .when(~F.col("_has_addr"), F.lit(1.0))
-                    .otherwise(F.coalesce(min_dist, F.lit(2.0))),
-                )
-                .drop("_qpc", "_has_addr", "_cents")
-            )
+            .drop("_qpc", "_has_addr", "_cents")
+        )
 
     # ---- housenumber lane: candidates that are streets get children
     qh = q.filter(F.col("hnr").isNotNull()).select(
@@ -990,16 +1009,14 @@ def score_hits(
     # disk-cell join — never an all-pairs product).  Category-only
     # assignments become a PoiSearch, valid only with a bounded viewbox
     # (build_poi_search:121-128).  The flagship path short-circuits on
-    # the cheap persisted-parse isEmpty probes.
+    # the single batched metadata probe taken right after the parse.
     nk = q.filter(
         F.col("near_key").isNotNull() & (F.col("name_norm") != "")
     ).select("query_id", "assign_id", "near_key")
     qpoi = q.filter(
         F.col("near_key").isNotNull() & (F.col("name_norm") == "")
     ).select("query_id", "assign_id", "near_key", "apenalty")
-    has_near = not nk.isEmpty()
-    has_poi = (viewbox is not None and bounded_viewbox
-               and not qpoi.isEmpty())
+    has_poi = viewbox is not None and bounded_viewbox and has_poi
     if has_near or has_poi:
         from nominatim_spark.operators.spatial import within_distance_join
 
