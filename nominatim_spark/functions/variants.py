@@ -56,13 +56,26 @@ def compile_rules(rules: list[str],
     # abbreviation simply keeps its own spelling
     rev: dict[str, set[str]] = {}
     rev_rules: dict[str, int] = {}
+    suffix_muts: list[tuple[re.Pattern, tuple[str, ...]]] = []
     for rule in rules:
-        m = re.split(r"\s*([=-])>\s*", rule)
+        m = re.split(r"\s*\|?([=-])>\s*", rule)
         if len(m) != 3:
             raise ValueError(f"bad variant rule: {rule!r}")
         sources = [s.strip() for s in m[0].split(",") if s.strip()]
         targets = [t.strip() for t in m[2].split(",") if t.strip()]
         keep = m[1] == "-"
+        # '~suffix' rules (the reference's decomposed word-part rules,
+        # config_variants.py:106-117): the term also abbreviates when
+        # glued to a preceding word ('rosengasse' -> 'roseng').
+        # Compiled into the mutation machinery: replace the suffix at a
+        # word end after at least one letter.
+        sfx = [s[1:] for s in sources if s.startswith("~")]
+        sources = [s for s in sources if not s.startswith("~")]
+        for s in sfx:
+            alts = tuple([s] + targets) if keep else tuple(targets)
+            suffix_muts.append((
+                re.compile(rf"(?<=[a-z]){re.escape(s)}(?= |$)"), alts,
+            ))
         for s in sources:
             out = repl.setdefault(s, set())
             out.update(targets)
@@ -87,7 +100,7 @@ def compile_rules(rules: list[str],
         pattern = re.compile(
             r"(?<![^ ])(" + "|".join(re.escape(w) for w in words) + r")(?![^ ])"
         )
-    muts = tuple(
+    muts = tuple(suffix_muts) + tuple(
         (re.compile(p), tuple(alts)) for p, alts in (mutations or [])
     )
     return CompiledRules(pattern=pattern, repl={
@@ -181,3 +194,91 @@ DEFAULT_COMPILED = compile_rules(DEFAULT_RULES, DEFAULT_MUTATIONS)
 
 def variants_default(norm_name: str) -> list[str]:
     return compute_variants(norm_name, DEFAULT_COMPILED)
+
+
+# Per-language variant rule sets — compact engine tables modeled on the
+# reference's per-language trees (settings/icu-rules/variants-{de,en,fr,
+# ...}.yaml selected by the token-analysis config,
+# settings/icu_tokenizer.yaml:29-185).  Forms are post-transliteration
+# ascii because the engine expands variants AFTER norm_translit.  '~'
+# marks word-part suffix rules (config_variants.py decomposition).
+LANG_RULES: dict[str, list[str]] = {
+    "en": [
+        "alley -> al,ally,aly", "arcade -> arc", "avenue -> av,ave",
+        "boulevard -> blvd,bvd", "building -> bldg",
+        "center,centre -> ctr", "circle -> cir", "close -> cl",
+        "court -> ct", "crescent -> cres", "drive -> dr",
+        "esplanade -> esp", "expressway -> expy", "freeway -> fwy",
+        "garden -> gdn", "gardens -> gdns", "grove -> gr",
+        "highway -> hwy", "lane -> la,ln", "mount -> mt",
+        "mountain -> mtn", "parade -> pde", "parkway -> pkwy",
+        "place -> pl", "plaza -> plz", "road -> rd", "square -> sq",
+        "street -> st", "terrace -> ter,tce", "way -> wy",
+        "fort -> ft", "saint -> st",
+    ],
+    "de": [
+        "strasse,~strasse -> str", "gasse,~gasse -> g",
+        "platz,~platz -> pl", "weg,~weg -> w",
+        "bahnhof -> bhf,bf", "hauptbahnhof -> hbf",
+        "doktor -> dr", "professor -> prof", "sankt -> st",
+        "bruecke,~bruecke -> br", "berg,~berg -> bg",
+        "burg,~burg -> bg", "dorf,~dorf -> df",
+    ],
+    "fr": [
+        "avenue -> av", "boulevard -> bd", "chemin -> che",
+        "allee -> all", "impasse -> imp", "place -> pl",
+        "route -> rte", "rue -> r", "ruelle -> rle", "saint -> st",
+        "sainte -> ste", "passage -> pas",
+    ],
+    "es": [
+        "avenida -> av,avda", "calle -> c,cl", "callejon -> cjon",
+        "camino -> cno", "carretera -> ctra", "plaza -> pza",
+        "paseo -> po", "urbanizacion -> urb", "santa -> sta",
+    ],
+    "nl": [
+        "straat,~straat -> str", "laan,~laan -> ln", "plein -> pln",
+        "sint -> st",
+    ],
+    "it": [
+        "viale -> vle", "piazza -> pza,pzza", "corso -> cso",
+        "largo -> lgo", "vicolo -> vlo", "santa -> sta",
+    ],
+    "sv": [
+        "gatan,~gatan -> g", "vaegen,~vaegen -> v", "gata -> g",
+    ],
+    "ru": [
+        "ulitsa -> ul", "prospekt -> pr,prosp", "pereulok -> per",
+        "ploshchad -> pl", "shosse -> sh", "naberezhnaya -> nab",
+    ],
+}
+
+# country default language (the reference's tag-analyzer-by-language
+# use-defaults country table, sanitizers/tag_analyzer_by_language.py)
+COUNTRY_LANG: dict[str, str] = {
+    "cv": "en", "gb": "en", "us": "en", "au": "en", "nz": "en",
+    "ie": "en", "ca": "en",
+    "de": "de", "at": "de", "ch": "de",
+    "fr": "fr",
+    "es": "es", "mx": "es", "ar": "es",
+    "nl": "nl", "be": "nl",
+    "it": "it",
+    "se": "sv",
+    "ru": "ru",
+}
+
+_LANG_COMPILED: dict[str | None, CompiledRules] = {None: DEFAULT_COMPILED}
+
+
+def compiled_for(lang: str | None) -> CompiledRules:
+    """Default rules plus the language's table, compiled once per lang."""
+    if lang not in _LANG_COMPILED:
+        extra = LANG_RULES.get(lang)
+        _LANG_COMPILED[lang] = (
+            DEFAULT_COMPILED if extra is None
+            else compile_rules(DEFAULT_RULES + extra, DEFAULT_MUTATIONS)
+        )
+    return _LANG_COMPILED[lang]
+
+
+def variants_for(norm_name: str, lang: str | None) -> list[str]:
+    return compute_variants(norm_name, compiled_for(lang))

@@ -22,6 +22,7 @@ lib-sql/functions/placex_triggers.sql:394-654) as three DataFrames:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,18 +55,22 @@ norm_names_udf = F.pandas_udf(
 )
 
 
-def _variants_arr(norms):
-    from nominatim_spark.functions.variants import variants_default
+def _variants_arr(norms, lang=None):
+    from nominatim_spark.functions.variants import variants_for
 
     out: dict[str, None] = {}
     for n in (norms or []):
-        for v in variants_default(n):
+        for v in variants_for(n, lang if isinstance(lang, str) else None):
             out.setdefault(v, None)
     return list(out)
 
 
 variants_udf = F.pandas_udf(
-    lambda s: s.map(_variants_arr), T.ArrayType(T.StringType()),
+    lambda norms, lang: pd.Series(
+        [_variants_arr(n, lg) for n, lg in zip(norms, lang)],
+        index=norms.index,
+    ),
+    T.ArrayType(T.StringType()),
 )
 
 
@@ -92,12 +97,21 @@ def tokenize_places(placex: DataFrame) -> DataFrame:
     generic.py:58-143) — the index carries every spelling variant so
     single-form queries ("Birch St") match.  Row-local — safe to run on
     any subset (the incremental path tokenizes only the diff)."""
+    from nominatim_spark.functions.variants import COUNTRY_LANG
     from nominatim_spark.pipeline.sanitizers import apply_sanitizers
 
+    if "country_code" in placex.columns:
+        # country default language drives the per-language variant table
+        # (tag-analyzer-by-language use-defaults semantics)
+        lang_map = F.create_map(
+            *[F.lit(x) for kv in COUNTRY_LANG.items() for x in kv])
+        lang_col = lang_map[F.col("country_code")]
+    else:
+        lang_col = F.lit(None).cast("string")
     return apply_sanitizers(placex).withColumn(
         "norm_names", norm_names_udf(F.col("_names"))
     ).withColumn(
-        "var_names", variants_udf(F.col("norm_names"))
+        "var_names", variants_udf(F.col("norm_names"), lang_col)
     ).withColumn(
         "norm_name", F.expr("try_element_at(norm_names, 1)")
     ).withColumn(

@@ -86,6 +86,36 @@ def test_sanitizers_chain(spark):
     assert out[2]._hnrs == ["8"]
 
 
+def test_lang_rules_and_suffix_decomposition():
+    """Per-language variant tables (settings/icu-rules/variants-*.yaml
+    model) incl. '~' word-part suffix rules (config_variants.py
+    decomposition)."""
+    from nominatim_spark.functions.variants import (
+        variants_default, variants_for)
+
+    vs = variants_for("rosengasse", "de")
+    assert "roseng" in vs and "rosengasse" in vs
+    assert "bahnhofstr" in variants_for("bahnhofstrasse", "de")
+    assert "birch av" in variants_for("birch avenue", "en")
+    assert "r de rivoli" in variants_for("rue de rivoli", "fr")
+    # unknown language falls back to the default rule set
+    assert (variants_for("birch street", "xx")
+            == variants_default("birch street"))
+
+
+def test_geocode_lang_abbreviation(spark, index):
+    """Country cv defaults to the 'en' table, so 'Maple Av' (an en-only
+    abbreviation, not in the default rules) matches the indexed street."""
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("l1", f"Maple Av, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx, q, osmline=osmline).collect()
+    assert len(res) == 1
+    assert (res[0].osm_type, res[0].osm_id) == ("W", 10003)
+
+
 def test_clean_postcodes_sanitizer(spark):
     """clean-postcodes (sanitizers/clean_postcodes.py): conforming
     postcodes normalize (cc prefix stripped, uppercased), non-conforming
