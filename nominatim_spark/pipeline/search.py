@@ -774,9 +774,6 @@ def score_hits(
         cand = cand.filter(
             F.col("lon").between(vx0, vx1) & F.col("lat").between(vy0, vy1)
         )
-    cand = cand.persist()
-    cand.count()
-
     # ---- postcode-constrained name search (PlaceSearch's postcode
     # penalty, place_search.py:149-163): an assignment carrying BOTH a
     # name and a postcode keeps its name candidates but charges each one
@@ -817,6 +814,9 @@ def score_hits(
             )
             .drop("_qpc", "_has_addr", "_cents")
         )
+
+    cand = cand.persist()
+    cand.count()
 
     # ---- housenumber lane: candidates that are streets get children
     qh = q.filter(F.col("hnr").isNotNull()).select(

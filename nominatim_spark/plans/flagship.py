@@ -79,7 +79,10 @@ def geocode_pages(
         )
         .select("query_id", F.col("url"), F.col("mention").alias("qtext"))
     )
-    res = geocode(spark, idx, mentions, osmline=osmline)
+    from nominatim_spark.pipeline.postcodes import build_postcodes
+
+    res = geocode(spark, idx, mentions, osmline=osmline,
+                  postcodes=build_postcodes(spark, idx.placex))
     return res.join(mentions.select("query_id", "url", "qtext"), "query_id")
 
 

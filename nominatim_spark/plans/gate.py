@@ -1214,6 +1214,74 @@ def q_geocode_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs with the stop-shingle df-cap engaged (dedup family,
+    scale path).  The oracle applies the same cap, proving the capped
+    join equals the brute-force form wherever no shingle exceeds it."""
+    from nominatim_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=500
+    )
+
+
+Q_JACCARD_CAPPED_SQL = f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(u.i AS INT):CAST(u.i AS INT) + 2], ' ') AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t,
+       LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 500) ok
+  USING (shingle)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+
+
+def q_weigh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weigh_search ranking fold (F16/W-family — ranking.sql:327-345):
+    each 'candidate' carries a sorted id vector; an ordered ranking list
+    charges the first penalty whose token set the vector fully contains,
+    else the default weight.  Vector = the order's distinct partkeys."""
+    li = load(spark, sf_dir, "lineitem")
+    vec = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey")))
+        .alias("vec")
+    )
+    return vec.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.when(
+            F.expr("array_contains(vec, 1L) AND array_contains(vec, 2L)"),
+            F.lit(0.1),
+        ).when(F.expr("array_contains(vec, 3L)"), F.lit(0.3))
+        .otherwise(F.lit(0.5)).alias("penalty"),
+    )
+
+
+Q_WEIGH_SEARCH_SQL = """
+SELECT l_orderkey AS orderkey,
+       CASE WHEN list_contains(vec, 1) AND list_contains(vec, 2)
+              THEN CAST(0.1 AS DOUBLE)
+            WHEN list_contains(vec, 3) THEN CAST(0.3 AS DOUBLE)
+            ELSE CAST(0.5 AS DOUBLE) END AS penalty
+FROM (SELECT l_orderkey, list_distinct(list(l_partkey)) AS vec
+      FROM lineitem GROUP BY 1)
+"""
+
+
 def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse-geocode every page coordinate through the tiered cascade
     (kNN ring expansion -> PiP areas -> country)."""
@@ -1258,6 +1326,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_pairs": (q_simhash_pairs, _q_simhash_sql()),
     "simhash_pairs_banded": (q_simhash_banded, _q_simhash_sql()),
     "ngram_jaccard_pairs": (q_ngram_jaccard, Q_JACCARD_SQL),
+    "ngram_jaccard_capped": (q_ngram_jaccard_capped, Q_JACCARD_CAPPED_SQL),
+    "weigh_search_fold": (q_weigh_search, Q_WEIGH_SEARCH_SQL),
     "embed_neardup_pairs": (q_embed_neardup, Q_EMBED_NEARDUP_SQL),
     "embed_neardup_lsh": (q_embed_neardup_lsh, Q_EMBED_LSH_SQL),
     "ann_top1_lsh": (q_ann_top1_lsh, Q_ANN_TOP1_SQL),

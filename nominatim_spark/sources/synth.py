@@ -275,6 +275,14 @@ def _mention(page_idx: int, n_cities: int, n_streets: int, n_houses: int,
     if kind == 1:  # street + housenumber
         j = (page_idx // 4) % n_streets
         k = (page_idx // 8) % n_houses
+        if page_idx % 8 == 5:
+            # postcode-bearing form ('street 5, 12345 city') — exercises
+            # the in-phrase postcode role end-to-end; same ground truth
+            return (
+                f"{street_name(city, j)} {2 * k + 1}, "
+                f"47{city:03d} {city_name(city)}",
+                "house", city,
+            )
         return (
             f"{street_name(city, j)} {2 * k + 1}, {city_name(city)}",
             "house", city,
