@@ -491,56 +491,96 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
       full-name 'W' token when all partials are more frequent than
       W_LOOKUP_MIN_COUNT (db_search_builder.py:236-246: the narrowed
       full-name plan is what the reference runs when partial lookups stop
-      being index-worthy).
+      being index-worthy);
+    * the per-assignment RANKING inputs (FieldRanking lists,
+      db_search_builder.py:299-366, applied by weigh_search,
+      ranking.sql:327-345): ``name_full_id`` / ``n_name`` (candidates
+      holding the full-word token pay 0, others the default
+      ``0.2 + 0.1*(n_name-1)``) and ``addr_ranks`` (one struct per
+      address PHRASE: full-word id when indexed, fallback default
+      ``0.3 + 0.1*(words-1)``).
 
-    The remaining tokens are NOT joined against the posting tables at all:
-    candidates carry their name_vector/nameaddress_vector arrays, so the
-    LookupAll remainder and the whole address Restrict (J3) become JVM
-    ``forall(ids, array_contains(vector, id))`` filters — no shuffle.
+    The remaining tokens are NOT joined against the posting tables at
+    all: candidates carry their name_vector/nameaddress_vector arrays,
+    so the LookupAll remainder and the whole address Restrict (J3)
+    become JVM ``forall`` filters — no shuffle.
 
-    The plan also carries the per-assignment RANKING inputs (the
-    reference's FieldRanking lists, db_search_builder.py:299-366, applied
-    by weigh_search, ranking.sql:327-345):
-
-    * ``name_full_id`` / ``n_name`` — candidates whose name_vector holds
-      the query name's full-word token get ranking penalty 0; the rest
-      fall back to the default (sum of partial penalties + 0.2 + word
-      breaks — re-expressed as ``0.2 + 0.1*(n_name-1)``);
-    * ``addr_ranks`` — one struct per address PHRASE: its full-word token
-      id (null when not indexed) and the fallback default
-      (``0.3 + 0.1*(words-1)``, get_addr_ranking's ranks[0]+0.3 shape).
-      A candidate pays 0 for each phrase appearing as a whole name in its
-      nameaddress_vector, the default otherwise.
+    Plan shape (load-bearing at batch scale): ONE explode over every
+    role (name words, addr words, the full name, addr phrases) joined
+    against ONE broadcast dictionary — the bounded partial-word table
+    plus the 'W' slice semi-joined down to the batch's distinct full
+    strings — then ONE groupBy.  No join-backs; the earlier two-pass
+    form cost an extra shuffle + two joins per batch.
     """
     has_stats = "name_count" in word.columns
+    has_phrases = "addr_phrases" in q.columns
+
+    parts = [
+        F.transform(
+            F.expr("filter(split(name_norm, ' '), w -> w <> '')"),
+            lambda w: F.struct(
+                w.alias("_tok"), F.lit("w").alias("_ty"),
+                F.lit("n").alias("_role"), F.lit(0).alias("_pos"),
+                F.lit(0).alias("_plen"),
+            ),
+        ),
+        F.transform(
+            F.expr("filter(split(addr_norm, ' '), w -> w <> '')"),
+            lambda w: F.struct(
+                w.alias("_tok"), F.lit("w").alias("_ty"),
+                F.lit("a").alias("_role"), F.lit(0).alias("_pos"),
+                F.lit(0).alias("_plen"),
+            ),
+        ),
+        F.when(
+            F.col("name_norm") != "",
+            F.array(F.struct(
+                F.col("name_norm").alias("_tok"), F.lit("W").alias("_ty"),
+                F.lit("f").alias("_role"), F.lit(0).alias("_pos"),
+                F.lit(0).alias("_plen"),
+            )),
+        ).otherwise(F.expr(
+            "array()"
+        ).cast("array<struct<_tok:string,_ty:string,_role:string,"
+               "_pos:int,_plen:int>>")),
+    ]
+    if has_phrases:
+        parts.append(F.transform(
+            F.col("addr_phrases"),
+            lambda p, i: F.struct(
+                p.alias("_tok"), F.lit("W").alias("_ty"),
+                F.lit("p").alias("_role"), i.alias("_pos"),
+                F.size(F.split(p, " ")).alias("_plen"),
+            ),
+        ))
     toks = q.select(
-        "query_id", "assign_id", "apenalty", "name_norm",
-        F.explode(
-            F.concat(
-                F.transform(
-                    F.expr("filter(split(name_norm, ' '), w -> w <> '')"),
-                    lambda w: F.struct(w.alias("_tok"),
-                                       F.lit("n").alias("_role")),
-                ),
-                F.transform(
-                    F.expr("filter(split(addr_norm, ' '), w -> w <> '')"),
-                    lambda w: F.struct(w.alias("_tok"),
-                                       F.lit("a").alias("_role")),
-                ),
-            )
-        ).alias("_t"),
-    ).select("query_id", "assign_id", "apenalty", "name_norm",
-             F.col("_t._tok").alias("_tok"), F.col("_t._role").alias("_role"))
-    w = word.filter(F.col("type") == "w").select(
-        F.col("word_token").alias("_tok"),
+        "query_id", "assign_id", "apenalty",
+        F.explode(F.concat(*parts)).alias("_t"),
+    ).select("query_id", "assign_id", "apenalty", "_t.*")
+
+    # ONE dictionary: the bounded partial-word table plus the 'W' slice
+    # narrowed to the batch's distinct full strings (the huge full-name
+    # dictionary is never broadcast whole)
+    w_part = word.filter(F.col("type") == "w").select(
+        F.col("word_token").alias("_tok"), F.lit("w").alias("_ty"),
         F.col("word_id").alias("_wid"),
         (F.col("name_count") if has_stats else F.lit(1))
         .cast("long").alias("_wcount"),
     )
-    toks = toks.join(F.broadcast(w), "_tok", "left")
+    w_full = word.filter(F.col("type") == "W").select(
+        F.col("word_token").alias("_tok"), F.lit("W").alias("_ty"),
+        F.col("word_id").alias("_wid"),
+        F.lit(None).cast("long").alias("_wcount"),
+    ).join(
+        F.broadcast(
+            toks.filter(F.col("_ty") == "W").select("_tok").distinct()),
+        "_tok", "left_semi",
+    )
+    wdict = w_part.unionByName(w_full)
+
+    toks = toks.join(F.broadcast(wdict), ["_tok", "_ty"], "left")
     agg = toks.groupBy("query_id", "assign_id").agg(
         F.first("apenalty").alias("apenalty"),
-        F.first("name_norm").alias("name_norm"),
         F.sum(F.when(F.col("_role") == "n", 1).otherwise(0)).alias("_n_name"),
         F.sum(F.when((F.col("_role") == "n") & F.col("_wid").isNotNull(), 1)
               .otherwise(0)).alias("_n_name_hit"),
@@ -560,62 +600,26 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         ).alias("_drive_w"),
         F.min(F.when(F.col("_role") == "n", F.col("_wcount")))
         .alias("_drive_count"),
+        F.max(F.when(F.col("_role") == "f", F.col("_wid")))
+        .alias("_w_full_id"),
+        F.transform(
+            F.array_sort(F.collect_list(F.when(
+                F.col("_role") == "p",
+                F.struct(
+                    "_pos",
+                    F.col("_wid").alias("id"),
+                    (F.lit(0.3) + F.lit(0.1) * (F.col("_plen") - 1))
+                    .alias("dflt"),
+                ),
+            ))),
+            lambda s: F.struct(s["id"].alias("id"),
+                               s["dflt"].alias("dflt")),
+        ).alias("addr_ranks"),
     ).filter(
         (F.col("_n_name") > 0)
         & (F.col("_n_name_hit") == F.col("_n_name"))
         & (F.col("_n_addr_hit") == F.col("_n_addr"))
     )
-
-    # full-name 'W' token for the whole normalized name, if indexed —
-    # prefiltered by the batch's distinct names so the (huge) W dictionary
-    # is never broadcast, only the matching slice
-    wfull = word.filter(F.col("type") == "W").select(
-        F.col("word_token").alias("name_norm"),
-        F.col("word_id").alias("_w_full_id"),
-    )
-    wfull = wfull.join(
-        F.broadcast(agg.select("name_norm").distinct()),
-        "name_norm", "left_semi",
-    )
-    agg = agg.join(F.broadcast(wfull), "name_norm", "left")
-
-    # address-phrase ranking inputs: map each phrase to its full-name 'W'
-    # id (same batch-bounded semi-join + broadcast as the name side)
-    if "addr_phrases" in q.columns:
-        ph = q.select(
-            "query_id", "assign_id",
-            F.posexplode("addr_phrases").alias("_ppos", "_phrase"),
-        )
-        wp = word.filter(F.col("type") == "W").select(
-            F.col("word_token").alias("_phrase"),
-            F.col("word_id").alias("_pid"),
-        ).join(
-            F.broadcast(ph.select("_phrase").distinct()),
-            "_phrase", "left_semi",
-        )
-        addr_ranks = (
-            ph.join(F.broadcast(wp), "_phrase", "left")
-            .groupBy("query_id", "assign_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(
-                        "_ppos",
-                        F.col("_pid").alias("id"),
-                        (F.lit(0.3) + F.lit(0.1)
-                         * (F.size(F.split("_phrase", " ")) - 1))
-                        .alias("dflt"),
-                    ))),
-                    lambda s: F.struct(s["id"].alias("id"),
-                                       s["dflt"].alias("dflt")),
-                ).alias("addr_ranks")
-            )
-        )
-        agg = agg.join(addr_ranks, ["query_id", "assign_id"], "left")
-    else:
-        agg = agg.withColumn(
-            "addr_ranks",
-            F.lit(None).cast("array<struct<id:long,dflt:double>>"),
-        )
     return agg.select(
         "query_id", "assign_id", "apenalty", "name_ids", "addr_ids",
         F.when(
@@ -625,7 +629,6 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         ).otherwise(F.col("_drive_w")).alias("drive_id"),
         F.col("_w_full_id").alias("name_full_id"),
         F.col("_n_name").alias("n_name"),
-        # left-join misses keep NULL; the scorer treats NULL as empty
         "addr_ranks",
     )
 
