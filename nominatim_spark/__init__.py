@@ -28,6 +28,11 @@ def __getattr__(name):  # lazy re-exports: keep import light, surface rich
                                 "apply_place_updates"),
         "build_postcodes": ("nominatim_spark.pipeline.postcodes",
                             "build_postcodes"),
+        "lookup_places": ("nominatim_spark.pipeline.lookup",
+                          "lookup_places"),
+        "place_details": ("nominatim_spark.pipeline.lookup",
+                          "place_details"),
+        "status": ("nominatim_spark.pipeline.lookup", "status"),
     }
     if name in _API:
         import importlib

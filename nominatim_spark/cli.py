@@ -1,0 +1,198 @@
+"""Command-line surface — the reference's ``nominatim`` CLI re-shaped
+for the batch engine (src/nominatim_db/cli.py subcommand layout; api
+commands src/nominatim_api/...).
+
+Subcommands:
+
+* ``import --place <parquet> --index <dir>`` — build the full index from
+  a place-schema parquet and checkpoint it (the reference's
+  ``nominatim import --osm-file``); ``--synth`` builds the synthetic
+  demo dataset instead.
+* ``search "<query>" --index <dir>`` — batch geocode of one (or more,
+  comma-file) queries; prints one JSON line per result.
+* ``reverse <lat> <lon> --index <dir>`` — reverse geocode a point.
+* ``lookup <ref> [<ref> ...] --index <dir>`` — resolve N/W/R osm refs
+  or numeric place ids.
+* ``details <ref> --index <dir>`` — lookup + display-address chain.
+* ``status --index <dir>`` — version + index shape.
+
+The index directory is the engine's checkpoint root: ``import`` writes
+it, every other command resumes from it (build_index(resume=True) loads
+the per-stage parquet checkpoints without recompute).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(args):
+    from nominatim_spark.session import get_spark
+
+    return get_spark("nominatim_spark_cli", cpus=args.cpus)
+
+
+def _load_index(spark, args):
+    from nominatim_spark.plans.flagship import build_synth_index
+
+    # resume=True loads every stage from the checkpoint root
+    return build_synth_index(spark, ckpt_root=args.index, resume=True)
+
+
+def _print_rows(df, fmt: str, idx=None) -> None:
+    from pyspark.sql import functions as F
+
+    from nominatim_spark.functions.format import to_geojson_col, to_json_col
+
+    if "display_name" not in df.columns:
+        if idx is not None:
+            names = idx.placex.select(
+                "place_id", F.col("name").getItem("name").alias("_nm")
+            )
+            df = df.join(names, "place_id", "left")
+        else:
+            df = df.withColumn("_nm", F.lit(None).cast("string"))
+        parts = []
+        if "housenumber" in df.columns:
+            parts.append(F.when(
+                F.col("housenumber").isNotNull(),
+                F.concat_ws(" ", "housenumber", "_nm"),
+            ))
+        parts += [F.col("_nm"), F.col("type")]
+        df = df.withColumn("display_name", F.coalesce(*parts)).drop("_nm")
+    if "importance" not in df.columns:
+        df = df.withColumn("importance", F.lit(0.0))
+    out_col = {"json": "result_json", "geojson": "result_geojson"}[fmt]
+    conv = {"json": to_json_col, "geojson": to_geojson_col}[fmt]
+    for row in conv(df).select(out_col).collect():
+        print(row[out_col])
+
+
+def cmd_import(args) -> int:
+    spark = _get_spark(args)
+    if args.synth:
+        from nominatim_spark.plans.flagship import build_synth_index
+
+        idx, _ = build_synth_index(spark, ckpt_root=args.index)
+    else:
+        from nominatim_spark.pipeline.placex import build_index
+
+        place = spark.read.parquet(args.place)
+        idx = build_index(spark, place, ckpt_root=args.index)
+    print(json.dumps({"imported": idx.placex.count(),
+                      "searchable": idx.search_name.count()}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from nominatim_spark.pipeline.search import geocode
+
+    spark = _get_spark(args)
+    idx, osmline = _load_index(spark, args)
+    q = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(args.query)],
+        "query_id string, qtext string",
+    )
+    res = geocode(spark, idx, q, osmline=osmline)
+    _print_rows(res, args.format, idx)
+    return 0
+
+
+def cmd_reverse(args) -> int:
+    from nominatim_spark.pipeline.reverse import reverse_geocode
+
+    spark = _get_spark(args)
+    idx, _ = _load_index(spark, args)
+    pts = spark.createDataFrame(
+        [(0, args.lon, args.lat)], "point_id long, lon double, lat double"
+    )
+    res = reverse_geocode(spark, idx, pts)
+    _print_rows(res, args.format, idx)
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    from nominatim_spark.pipeline.lookup import lookup_places
+
+    spark = _get_spark(args)
+    idx, osmline = _load_index(spark, args)
+    res = lookup_places(spark, idx, args.refs, osmline=osmline)
+    _print_rows(res, args.format, idx)
+    return 0
+
+
+def cmd_details(args) -> int:
+    from nominatim_spark.pipeline.lookup import place_details
+
+    spark = _get_spark(args)
+    idx, osmline = _load_index(spark, args)
+    res = place_details(spark, idx, args.refs, osmline=osmline)
+    for row in res.toJSON().collect():
+        print(row)
+    return 0
+
+
+def cmd_status(args) -> int:
+    from nominatim_spark.pipeline.lookup import status
+
+    spark = _get_spark(args)
+    idx = None
+    if args.index:
+        idx, _ = _load_index(spark, args)
+    print(json.dumps(status(spark, idx)))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nominatim_spark")
+    p.add_argument("--cpus", type=int, default=4)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import", help="build + checkpoint the index")
+    imp.add_argument("--place", help="place-schema parquet path")
+    imp.add_argument("--synth", action="store_true",
+                     help="build the synthetic demo dataset")
+    imp.add_argument("--index", required=True, help="checkpoint root")
+    imp.set_defaults(fn=cmd_import)
+
+    for name, fn in (("search", cmd_search),):
+        s = sub.add_parser(name, help="forward geocode")
+        s.add_argument("query", nargs="+")
+        s.add_argument("--index", required=True)
+        s.add_argument("--format", choices=("json", "geojson"),
+                       default="json")
+        s.set_defaults(fn=fn)
+
+    r = sub.add_parser("reverse", help="reverse geocode a point")
+    r.add_argument("lat", type=float)
+    r.add_argument("lon", type=float)
+    r.add_argument("--index", required=True)
+    r.add_argument("--format", choices=("json", "geojson"), default="json")
+    r.set_defaults(fn=cmd_reverse)
+
+    lk = sub.add_parser("lookup", help="resolve osm refs / place ids")
+    lk.add_argument("refs", nargs="+")
+    lk.add_argument("--index", required=True)
+    lk.add_argument("--format", choices=("json", "geojson"), default="json")
+    lk.set_defaults(fn=cmd_lookup)
+
+    dt = sub.add_parser("details", help="place details with address chain")
+    dt.add_argument("refs", nargs="+")
+    dt.add_argument("--index", required=True)
+    dt.set_defaults(fn=cmd_details)
+
+    st = sub.add_parser("status", help="engine + index status")
+    st.add_argument("--index")
+    st.set_defaults(fn=cmd_status)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""/lookup, /details, /status API + CLI surface.
+
+Shapes from the reference's lookup cascade
+(src/nominatim_api/lookup.py:196-330) and CLI layout
+(src/nominatim_db/cli.py)."""
+
+import json
+
+import pytest
+
+from nominatim_spark.pipeline.lookup import (
+    lookup_places, place_details, status)
+from nominatim_spark.plans.flagship import build_synth_index
+from nominatim_spark.sources import synth
+
+SCALE = dict(n_cities=2, n_streets=2, n_houses=2, n_pois=1)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_lookup"))
+    idx, osmline = build_synth_index(spark, ckpt_root=ckpt, **SCALE)
+    idx.placex.persist().count()
+    return idx, osmline, ckpt
+
+
+def test_lookup_by_osm_ref_and_place_id(spark, index):
+    idx, osmline, _ = index
+    street_pid = idx.placex.filter("osm_id = 10000 AND osm_type = 'W'") \
+                           .head().place_id
+    res = {r.ref_id: r for r in lookup_places(
+        spark, idx, ["W10000", "R100", street_pid, "N999999999"],
+        osmline=osmline).collect()}
+    assert res["W10000"].osm_id == 10000 and res["W10000"]["class"] == "highway"
+    assert res["R100"]["class"] == "boundary"
+    assert res[str(street_pid)].place_id == street_pid
+    # unresolvable refs are absent (reference drops them too)
+    assert "N999999999" not in res
+
+
+def test_lookup_osmline_cascade(spark, index):
+    """A W ref that is not in placex falls through to the interpolation
+    table (find_in_osmline, lookup.py:245-286) — one row per ref."""
+    idx, osmline, _ = index
+    way_id = osmline.head().way_id
+    res = lookup_places(spark, idx, [f"W{way_id}"], osmline=osmline).collect()
+    assert len(res) == 1
+    assert res[0].type == "houses" and res[0].rank_address == 30
+
+
+def test_place_details_address_chain(spark, index):
+    idx, osmline, _ = index
+    res = place_details(spark, idx, ["W10000"], osmline=osmline).collect()
+    assert len(res) == 1
+    # the display chain carries the city ancestor
+    assert synth.city_name(0) in (res[0].display_name or "")
+
+
+def test_status(spark, index):
+    idx, _, _ = index
+    st = status(spark, idx)
+    assert st["status"] == 0 and st["places"] > 0 and st["words"] > 0
+
+
+def test_cli_search_lookup_status(spark, index, capsys):
+    from nominatim_spark.cli import main
+
+    _, _, ckpt = index
+    rc = main(["search", f"Birch Street, {synth.city_name(0)}",
+               "--index", ckpt])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 1
+    doc = json.loads(out[0])
+    assert doc["osm_id"] == 10000 and doc["osm_type"] == "way"
+    assert doc["display_name"] == "Birch Street"
+
+    rc = main(["reverse", "47.15", "9.25", "--index", ckpt])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 1 and json.loads(out[0])["place_id"]
+
+    rc = main(["lookup", "R100", "--index", ckpt, "--format", "geojson"])
+    out = capsys.readouterr().out.strip().splitlines()
+    feat = json.loads(out[0])
+    assert feat["type"] == "Feature"
+    assert feat["properties"]["osm_type"] == "relation"
+
+    rc = main(["status", "--index", ckpt])
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st["status"] == 0 and st["places"] > 0
