@@ -150,6 +150,53 @@ def delete_names(df: DataFrame, name: str = "",
     )
 
 
+def tag_japanese(df: DataFrame) -> DataFrame:
+    """Japanese block addresses (sanitizers/tag_japanese.py:19-117):
+    for country 'jp', ``block_number``+``housenumber`` recombine into
+    ``housenumber`` ('1-3'), ``quarter``+``neighbourhood`` into ``place``
+    (quarter∥neighbourhood); the source keys are consumed."""
+    if "country_code" not in df.columns:
+        return df
+    addr = F.col("address")
+    hnr = addr.getItem("housenumber")
+    block = addr.getItem("block_number")
+    quarter = addr.getItem("quarter")
+    neigh = addr.getItem("neighbourhood")
+    new_hnr = F.when(
+        block.isNotNull() & hnr.isNotNull(),
+        F.concat(block, F.lit("-"), hnr),
+    ).otherwise(F.coalesce(block, hnr))
+    new_place = F.when(
+        quarter.isNotNull() & neigh.isNotNull(), F.concat(quarter, neigh)
+    ).otherwise(F.coalesce(quarter, neigh))
+    empty = F.expr("map()").cast("map<string,string>")
+    rewritten = F.map_concat(
+        F.expr(
+            "map_filter(address, (k, v) -> k NOT IN "
+            "('housenumber', 'block_number', 'quarter', 'neighbourhood', "
+            "'place'))"
+        ),
+        F.when(new_hnr.isNotNull(),
+               F.create_map(F.lit("housenumber"), new_hnr)).otherwise(empty),
+        F.when(
+            new_place.isNotNull(),
+            F.create_map(F.lit("place"), new_place),
+        ).otherwise(
+            # keep a pre-existing place tag when nothing recombines
+            F.when(addr.getItem("place").isNotNull(),
+                   F.create_map(F.lit("place"), addr.getItem("place")))
+            .otherwise(empty)
+        ),
+    )
+    return df.withColumn(
+        "address",
+        F.when(
+            (F.col("country_code") == "jp") & F.col("address").isNotNull(),
+            rewritten,
+        ).otherwise(F.col("address")),
+    )
+
+
 SANITIZERS: dict[str, Callable[..., DataFrame]] = {
     "split-name-list": split_name_list,
     "strip-brace-terms": strip_brace_terms,
@@ -157,6 +204,7 @@ SANITIZERS: dict[str, Callable[..., DataFrame]] = {
     "clean-housenumbers": clean_housenumbers,
     "clean-postcodes": clean_postcodes,
     "delete-names": delete_names,
+    "tag-japanese": tag_japanese,
 }
 
 DEFAULT_CHAIN: list = [

@@ -146,6 +146,32 @@ def test_clean_postcodes_sanitizer(spark):
     assert out[5] == {"unofficial_postcode": "47000"}
 
 
+def test_tag_japanese_sanitizer(spark):
+    """jp block addresses (sanitizers/tag_japanese.py): block_number +
+    housenumber -> housenumber '1-3'; quarter + neighbourhood -> place;
+    non-jp rows untouched."""
+    pdf = pd.DataFrame({
+        "country_code": ["jp", "jp", "cv"],
+        "name": [{"name": "x"}] * 3,
+        "address": [
+            {"block_number": "1", "housenumber": "3", "quarter": "銀座",
+             "neighbourhood": "四丁目", "street": "s"},
+            {"housenumber": "5"},
+            {"block_number": "1", "housenumber": "3"},
+        ],
+    })
+    df = spark.createDataFrame(
+        pdf, "country_code string, name map<string,string>, "
+             "address map<string,string>",
+    )
+    out = [r.address for r in
+           apply_sanitizers(df, ["tag-japanese"]).collect()]
+    assert out[0] == {"housenumber": "1-3", "place": "銀座四丁目",
+                      "street": "s"}
+    assert out[1] == {"housenumber": "5"}
+    assert out[2] == {"block_number": "1", "housenumber": "3"}
+
+
 def test_delete_names_sanitizer(spark):
     pdf = pd.DataFrame({
         "name": [{"name": "Keep Me;Drop Me"}],
