@@ -95,6 +95,24 @@ def test_postcode_in_address_phrase():
     assert any(k[3] is None for k in roles)
 
 
+def test_postcode_parser_ported_shapes():
+    """Shapes from the reference's postcode-parser tests
+    (test/python/api/search/test_postcode_parser.py)."""
+    from nominatim_spark.pipeline.search import _match_postcode
+
+    # case-insensitive multi-token postcode (:93-96)
+    assert _match_postcode("ec1r 3hf") == "EC1R 3HF"
+    # joined country prefix strips (:139-142)
+    assert _match_postcode("cv47000") == "47000"
+    # non-matching country prefix is not a postcode (:145-148)
+    assert _match_postcode("ky47000") is None
+    # all-zero forms rejected (postcode_format zero_pattern)
+    assert _match_postcode("00000") is None
+    # a gb-shaped phrase becomes the postcode role
+    roles = _by_roles(_assignments("Birch Street, ec1r 3hf"))
+    assert ("birch street", None, "", "EC1R 3HF") in roles
+
+
 def test_postcode_whole_phrase():
     roles = _by_roles(_assignments("Birch Street, 47000"))
     assert ("birch street", None, "", "47000") in roles
