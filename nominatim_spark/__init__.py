@@ -21,6 +21,8 @@ def __getattr__(name):  # lazy re-exports: keep import light, surface rich
         "build_index": ("nominatim_spark.pipeline.placex", "build_index"),
         "geocode": ("nominatim_spark.pipeline.search", "geocode"),
         "geocode_all": ("nominatim_spark.pipeline.search", "geocode_all"),
+        "geocode_structured": ("nominatim_spark.pipeline.search",
+                               "geocode_structured"),
         "near_search": ("nominatim_spark.pipeline.search", "near_search"),
         "reverse_geocode": ("nominatim_spark.pipeline.reverse",
                             "reverse_geocode"),

@@ -1135,6 +1135,29 @@ def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:
     return best.select("query_id", "_best.*")
 
 
+STRUCTURED_FIELDS = ("amenity", "street", "city", "county", "state",
+                     "postalcode", "country")
+
+
+def geocode_structured(spark, idx: IndexTables, queries: DataFrame,
+                       **kw) -> DataFrame:
+    """Structured /search (the reference's amenity/street/city/county/
+    state/postalcode/country parameters, nominatim_api/core.py
+    search_address → PHRASE_STREET.. phrase types): the typed fields
+    become the comma-phrased reading in field order — the first present
+    field is the name phrase, the rest address phrases, and the
+    postalcode routes through the in-phrase postcode role.  One wrapper
+    over the standard batch pipeline; a penalty-free re-expression of the
+    reference's typed-phrase parse (icu_tokenizer.py phrase typing)."""
+    cols = [c for c in STRUCTURED_FIELDS if c in queries.columns]
+    if not cols:
+        raise ValueError(
+            f"no structured field column found (expected any of "
+            f"{STRUCTURED_FIELDS})")
+    qtext = F.concat_ws(", ", *[F.col(c) for c in cols])
+    return geocode(spark, idx, queries.withColumn("qtext", qtext), **kw)
+
+
 def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
                 max_results: int = 10, epsilon: float = 0.5,
                 **kw) -> DataFrame:

@@ -360,6 +360,28 @@ def test_geocode_poi_search_bounded_viewbox(spark, index):
     assert geocode(spark, idx, q, osmline=osmline).isEmpty()
 
 
+def test_geocode_structured(spark, index):
+    """Structured /search params (core.py search_address): typed fields
+    become the comma-phrased reading; postalcode routes through the
+    postcode role."""
+    from nominatim_spark.pipeline.postcodes import build_postcodes
+    from nominatim_spark.pipeline.search import geocode_structured
+
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("s1", f"{synth.street_name(0, 0)} 3", synth.city_name(0), None),
+         ("s2", None, synth.city_name(1), None),
+         ("s3", None, None, "47000")],
+        "query_id string, street string, city string, postalcode string",
+    )
+    res = {r.query_id: r for r in geocode_structured(
+        spark, idx, q, osmline=osmline,
+        postcodes=build_postcodes(spark, idx.placex)).collect()}
+    assert res["s1"].housenumber == "3" and res["s1"].osm_type == "N"
+    assert (res["s2"].osm_type, res["s2"].osm_id) == ("R", 101)
+    assert res["s3"].type == "postcode"
+
+
 def test_geocode_postcode_lane(spark, index):
     idx, osmline = index
     postcodes = build_postcodes(spark, idx.placex)
