@@ -34,11 +34,37 @@ def _get_spark(args):
     return get_spark("nominatim_spark_cli", cpus=args.cpus)
 
 
-def _load_index(spark, args):
-    from nominatim_spark.plans.flagship import build_synth_index
+def _import_marker(index_root: str) -> dict:
+    import os
 
-    # resume=True loads every stage from the checkpoint root
-    return build_synth_index(spark, ckpt_root=args.index, resume=True)
+    path = os.path.join(index_root, "_import.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    # pre-marker checkpoint roots were only ever synthetic
+    return {"mode": "synth"}
+
+
+def _load_index(spark, args):
+    """Resume from a checkpoint root according to its import mode: a
+    ``--synth`` import rebuilds the synthetic frames around the
+    checkpoints; a ``--place`` import loads purely from parquet (its
+    osmline comes from the checkpoint too — never fabricated)."""
+    import os
+
+    from nominatim_spark.io.checkpoint import has_checkpoint, load_checkpoint
+
+    marker = _import_marker(args.index)
+    if marker.get("mode") == "synth":
+        from nominatim_spark.plans.flagship import build_synth_index
+
+        return build_synth_index(spark, ckpt_root=args.index, resume=True)
+    from nominatim_spark.pipeline.placex import load_index
+
+    idx = load_index(spark, args.index)
+    osmline = (load_checkpoint(spark, args.index, "osmline")
+               if has_checkpoint(args.index, "osmline") else None)
+    return idx, osmline
 
 
 def _print_rows(df, fmt: str, idx=None) -> None:
@@ -71,16 +97,24 @@ def _print_rows(df, fmt: str, idx=None) -> None:
 
 
 def cmd_import(args) -> int:
+    import os
+
     spark = _get_spark(args)
     if args.synth:
         from nominatim_spark.plans.flagship import build_synth_index
 
         idx, _ = build_synth_index(spark, ckpt_root=args.index)
+        mode = "synth"
     else:
+        if not args.place:
+            raise SystemExit("import: --place <parquet> or --synth required")
         from nominatim_spark.pipeline.placex import build_index
 
         place = spark.read.parquet(args.place)
         idx = build_index(spark, place, ckpt_root=args.index)
+        mode = "place"
+    with open(os.path.join(args.index, "_import.json"), "w") as fh:
+        json.dump({"mode": mode}, fh)
     print(json.dumps({"imported": idx.placex.count(),
                       "searchable": idx.search_name.count()}))
     return 0

@@ -48,14 +48,18 @@ def compile_rules(rules: list[str],
     ``->`` keeps the source as a variant; ``=>`` replaces it.
     """
     repl: dict[str, set[str]] = {}
-    # reverse entries are collected per target and only merged when exactly
-    # one rule produced them: a target shared by rules with different
-    # sources ("street -> st" and "saint -> st") must NOT become transitive
-    # ("birch st" expanding to "birch saint") — the reference's explicit
-    # per-direction config rules never produce that, so an ambiguous
-    # abbreviation simply keeps its own spelling
+    # reverse entries are collected per target and only merged when every
+    # rule that produced the target agrees on a common source: a target
+    # shared by rules with DISJOINT sources ("street -> st" and
+    # "saint -> st") must NOT become transitive ("birch st" expanding to
+    # "birch saint") — the reference's explicit per-direction config rules
+    # never produce that, so an ambiguous abbreviation simply keeps its
+    # own spelling.  Agreement is judged on source SETS, not rule
+    # instances, so the same word rule appearing in both the default and
+    # a language table ("avenue -> ave" + "avenue -> av,ave") still
+    # expands ("birch ave" -> "birch avenue").
     rev: dict[str, set[str]] = {}
-    rev_rules: dict[str, int] = {}
+    rev_sources: dict[str, list[set[str]]] = {}
     suffix_muts: list[tuple[re.Pattern, tuple[str, ...]]] = []
     for rule in rules:
         m = re.split(r"\s*\|?([=-])>\s*", rule)
@@ -90,9 +94,11 @@ def compile_rules(rules: list[str],
             rout.add(t)
             rout.update(sources)
             rout.update(targets)
-            rev_rules[t] = rev_rules.get(t, 0) + 1
+            if sources:
+                rev_sources.setdefault(t, []).append(set(sources))
     for t, rout in rev.items():
-        if rev_rules[t] == 1:
+        srcs = rev_sources.get(t, [])
+        if srcs and set.intersection(*srcs):
             repl.setdefault(t, set()).update(rout)
     pattern = None
     if repl:

@@ -11,6 +11,8 @@ job for a million refs instead of a loop.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from nominatim_spark.pipeline.placex import IndexTables
@@ -35,11 +37,17 @@ def _norm_refs(spark, refs) -> DataFrame:
             out = out.withColumn("osm_id", F.lit(None).cast("long"))
         return out.select("ref_id", "place_id", "osm_type", "osm_id")
     rows = []
-    for i, r in enumerate(refs):
-        if isinstance(r, int):
-            rows.append((str(r), r, None, None))
-        else:
+    for r in refs:
+        if isinstance(r, int) or (isinstance(r, str) and r.isdigit()):
+            # numeric place id — the API's PlaceID ref (CLI argv always
+            # delivers strings, so digit-only strings count too)
+            rows.append((str(r), int(r), None, None))
+        elif isinstance(r, str) and re.fullmatch(r"[NWRnwr]\d+", r):
             rows.append((r, None, r[0].upper(), int(r[1:])))
+        else:
+            raise ValueError(
+                f"bad place ref {r!r}: expected a numeric place id or "
+                "N/W/R-prefixed osm id (e.g. 'N123')")
     return spark.createDataFrame(
         rows, "ref_id string, place_id long, osm_type string, osm_id long"
     )

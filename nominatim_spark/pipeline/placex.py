@@ -692,7 +692,8 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
                 way_nodes: DataFrame | None = None) -> IndexTables:
     import tempfile
 
-    from nominatim_spark.io.checkpoint import checkpoint
+    from nominatim_spark.io.checkpoint import (
+        checkpoint, has_checkpoint, load_checkpoint)
     from nominatim_spark.pipeline.tokens import build_search_tables
 
     if ckpt_root is None:
@@ -701,6 +702,22 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
                           assoc_members=assoc_members,
                           label_members=label_members,
                           way_nodes=way_nodes)
+    stages = ("word", "name_postings", "addr_postings", "search_name")
+    if resume and all(has_checkpoint(ckpt_root, s) for s in stages):
+        # full resume: the search tables load straight from parquet; the
+        # returned placex re-applies the (lazy, row-local) tokenize pass
+        # so its shape matches the build path exactly
+        from nominatim_spark.pipeline.tokens import tokenize_places
+
+        word, name_post, addr_post, search_name = (
+            load_checkpoint(spark, ckpt_root, s) for s in stages)
+        px = placex
+        if "linked_place_id" in px.columns:
+            px = px.filter(F.col("linked_place_id").isNull())
+        return IndexTables(
+            placex=tokenize_places(px), search_name=search_name, word=word,
+            name_postings=name_post, addr_postings=addr_post,
+        )
     idx = build_search_tables(spark, placex)
     word = checkpoint(idx.word, ckpt_root, "word", inputs=["placex"])
     name_post = checkpoint(idx.name_postings, ckpt_root, "name_postings",
@@ -716,3 +733,27 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
         name_postings=name_post,
         addr_postings=addr_post,
     )
+
+
+def load_index(spark, ckpt_root: str) -> IndexTables:
+    """Load a complete index purely from its checkpoint root — the resume
+    path for post-import CLI/API commands on a non-synthetic import (no
+    source ``place`` frame needed)."""
+    from nominatim_spark.io.checkpoint import has_checkpoint, load_checkpoint
+
+    stages = ("placex", "word", "name_postings", "addr_postings",
+              "search_name")
+    missing = [s for s in stages if not has_checkpoint(ckpt_root, s)]
+    if missing:
+        raise FileNotFoundError(
+            f"index checkpoint root {ckpt_root!r} is incomplete: "
+            f"missing stages {missing}")
+    from nominatim_spark.pipeline.tokens import tokenize_places
+
+    px, word, name_post, addr_post, search_name = (
+        load_checkpoint(spark, ckpt_root, s) for s in stages)
+    if "linked_place_id" in px.columns:
+        px = px.filter(F.col("linked_place_id").isNull())
+    return IndexTables(placex=tokenize_places(px), search_name=search_name,
+                       word=word, name_postings=name_post,
+                       addr_postings=addr_post)

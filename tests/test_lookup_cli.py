@@ -87,3 +87,48 @@ def test_cli_search_lookup_status(spark, index, capsys):
     rc = main(["status", "--index", ckpt])
     st = json.loads(capsys.readouterr().out.strip())
     assert st["status"] == 0 and st["places"] > 0
+
+
+def test_lookup_numeric_string_and_bad_ref(spark, index):
+    """CLI argv delivers place ids as digit strings — they must resolve
+    as place ids, not parse as osm refs; malformed refs raise a clear
+    error (ADVICE r3)."""
+    idx, osmline, _ = index
+    street_pid = idx.placex.filter("osm_id = 10000 AND osm_type = 'W'") \
+                           .head().place_id
+    res = lookup_places(spark, idx, [str(street_pid)],
+                        osmline=osmline).collect()
+    assert len(res) == 1 and res[0].place_id == street_pid
+
+    with pytest.raises(ValueError, match="bad place ref"):
+        lookup_places(spark, idx, ["X"], osmline=osmline)
+
+
+def test_cli_place_import_no_fabricated_osmline(spark, index, tmp_path,
+                                                capsys):
+    """A non-synth `import --place` records its mode; post-import
+    commands resume WITHOUT rebuilding synthetic interpolation lines
+    against the imported placex (ADVICE r3: fabricated interp hits)."""
+    import argparse
+
+    from nominatim_spark.cli import _load_index, main
+
+    place_pq = str(tmp_path / "place.parquet")
+    synth.place_df(spark, **{k: v for k, v in SCALE.items()
+                             if k.startswith("n_")}).write.parquet(place_pq)
+    ckpt = str(tmp_path / "idx")
+    rc = main(["import", "--place", place_pq, "--index", ckpt])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["imported"] > 0
+
+    args = argparse.Namespace(index=ckpt, cpus=4)
+    idx2, osmline2 = _load_index(spark, args)
+    assert osmline2 is None  # nothing fabricated for a --place import
+    assert idx2.search_name.count() == out["searchable"]
+
+    # housenumber search falls back to real rows only (house or street)
+    rc = main(["search", f"Birch Street 3, {synth.city_name(0)}",
+               "--index", ckpt])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rc == 0 and doc["osm_type"] in ("node", "way")
+    assert doc.get("class") != "place" or doc.get("type") != "houses"

@@ -223,3 +223,24 @@ def test_reverse_rules_not_transitive():
     # an unambiguous target keeps its reverse expansion
     lone = compile_rules(["road -> rd"])
     assert "birch road" in set(compute_variants("birch rd", lone))
+
+
+def test_duplicate_rules_across_tables_still_reverse():
+    """The same abbreviation rule appearing in both the default table and
+    a language table ('avenue -> ave' + 'avenue -> av,ave') must NOT be
+    treated as ambiguous: agreement is judged on source sets, not rule
+    instances, so 'birch ave' still expands to 'birch avenue' under the
+    per-language compilation (ADVICE r3 high finding)."""
+    from nominatim_spark.functions.variants import variants_for
+
+    got = set(variants_for("birch ave", "en"))
+    assert "birch avenue" in got
+    # all the duplicated default/en rules keep their reverse expansion
+    for abbr, full in [("birch rd", "birch road"), ("birch ln", "birch lane"),
+                       ("birch dr", "birch drive"), ("birch ct", "birch court"),
+                       ("birch pl", "birch place"), ("birch sq", "birch square"),
+                       ("birch blvd", "birch boulevard")]:
+        assert full in set(variants_for(abbr, "en")), abbr
+    # genuinely ambiguous targets stay suppressed ('st': street vs saint)
+    assert "birch street" not in set(variants_for("birch st", "en"))
+    assert "birch saint" not in set(variants_for("birch st", "en"))
