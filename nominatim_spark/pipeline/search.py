@@ -30,13 +30,14 @@ DataFrame DAG over all queries at once:
    distance, importance desc, deterministic tie-break; top-1 per query
    (geocode) or the adaptive-cut ranked list (geocode_all)
 
-Scale notes: the partial-word dictionary is broadcast (bounded
-vocabulary); the 'W' full-name dictionary is first semi-joined down to
-the batch's distinct names, then broadcast (never the full table); the
-posting table is pre-filtered by a broadcast semijoin against the
-batch's DISTINCT DRIVE ids, so the posting shuffle is bounded by the
-rarest-token document frequencies; AQE skew handling covers hot
-city-name drive tokens.
+Scale notes: BOTH word-dictionary slices ('w' partials and 'W' full
+names) are semi-joined down to the batch's distinct tokens before any
+broadcast — at planet scale the partial vocabulary alone is tens of
+millions of rows, so the broadcast side must be bounded by the BATCH,
+never the table (_batch_word_dict); the posting table is pre-filtered
+by a broadcast semijoin against the batch's DISTINCT DRIVE ids, so the
+posting shuffle is bounded by the rarest-token document frequencies;
+AQE skew handling covers hot city-name drive tokens.
 """
 
 from __future__ import annotations
@@ -424,6 +425,9 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
             ).alias("pos", "_tok"),
         )
     )
+    # the stats dictionary is bounded by the batch's distinct tokens
+    # BEFORE the broadcast — never the whole partial vocabulary (same
+    # batch-bounding as _batch_word_dict)
     w = word.filter(F.col("type") == "w").select(
         F.col("word_token").alias("_tok"),
         F.when(
@@ -431,6 +435,8 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
             F.col("name_count")
             / (F.col("name_count") + F.col("addr_count")),
         ).otherwise(F.lit(0.5)).alias("r"),
+    ).join(
+        F.broadcast(toks.select("_tok").distinct()), "_tok", "left_semi",
     )
     rt = toks.join(F.broadcast(w), "_tok", "left").withColumn(
         "r", F.coalesce("r", F.lit(0.5))
@@ -475,6 +481,37 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
 # db_search_builder.py:236-246 / 258-268; index-lookup suitability decided
 # by CountedTokenIDs.get_num_lookup_tokens, db_search_fields.py:37-57).
 W_LOOKUP_MIN_COUNT = 30_000
+
+
+def _batch_word_dict(word: DataFrame, toks: DataFrame, *,
+                     has_stats: bool) -> DataFrame:
+    """The batch-bounded token dictionary: BOTH word-table slices — the
+    partial 'w' terms and the full-name 'W' strings — semi-joined down to
+    the batch's distinct (token, type) pairs BEFORE any broadcast.
+
+    At planet scale the partial vocabulary alone is tens of millions of
+    rows (hundreds of MB to GBs) — broadcasting it whole is the one
+    scale-killer the reference never has (its per-query word lookup is an
+    indexed point query, icu_tokenizer.py lookup_in_db).  The batch
+    analog: the query batch contributes a bounded distinct-token set (a
+    few tokens per query), that set broadcasts to prefilter the word
+    table, and only the surviving dictionary rows (≤ batch tokens) are
+    broadcast into the explode join."""
+    w_part = word.filter(F.col("type") == "w").select(
+        F.col("word_token").alias("_tok"), F.lit("w").alias("_ty"),
+        F.col("word_id").alias("_wid"),
+        (F.col("name_count") if has_stats else F.lit(1))
+        .cast("long").alias("_wcount"),
+    )
+    w_full = word.filter(F.col("type") == "W").select(
+        F.col("word_token").alias("_tok"), F.lit("W").alias("_ty"),
+        F.col("word_id").alias("_wid"),
+        F.lit(None).cast("long").alias("_wcount"),
+    )
+    return w_part.unionByName(w_full).join(
+        F.broadcast(toks.select("_tok", "_ty").distinct()),
+        ["_tok", "_ty"], "left_semi",
+    )
 
 
 def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
@@ -558,25 +595,7 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         F.explode(F.concat(*parts)).alias("_t"),
     ).select("query_id", "assign_id", "apenalty", "_t.*")
 
-    # ONE dictionary: the bounded partial-word table plus the 'W' slice
-    # narrowed to the batch's distinct full strings (the huge full-name
-    # dictionary is never broadcast whole)
-    w_part = word.filter(F.col("type") == "w").select(
-        F.col("word_token").alias("_tok"), F.lit("w").alias("_ty"),
-        F.col("word_id").alias("_wid"),
-        (F.col("name_count") if has_stats else F.lit(1))
-        .cast("long").alias("_wcount"),
-    )
-    w_full = word.filter(F.col("type") == "W").select(
-        F.col("word_token").alias("_tok"), F.lit("W").alias("_ty"),
-        F.col("word_id").alias("_wid"),
-        F.lit(None).cast("long").alias("_wcount"),
-    ).join(
-        F.broadcast(
-            toks.filter(F.col("_ty") == "W").select("_tok").distinct()),
-        "_tok", "left_semi",
-    )
-    wdict = w_part.unionByName(w_full)
+    wdict = _batch_word_dict(word, toks, has_stats=has_stats)
 
     toks = toks.join(F.broadcast(wdict), ["_tok", "_ty"], "left")
     agg = toks.groupBy("query_id", "assign_id").agg(
