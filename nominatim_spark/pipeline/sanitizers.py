@@ -89,35 +89,38 @@ def clean_housenumbers(df: DataFrame) -> DataFrame:
 
 
 def clean_postcodes(df: DataFrame, convert_to_address: bool = True,
-                    ) -> DataFrame:
+                    default_pattern: str | None = None) -> DataFrame:
     """Filter address postcodes by their official per-country pattern
     (sanitizers/clean_postcodes.py + data/postcode_format.py:18-58).
 
-    Conforming postcodes are normalized (uppercased, optional country-code
-    prefix stripped); non-conforming ones move to the non-centroid
-    ``unofficial_postcode`` key (``convert_to_address``, the default) or
-    are dropped.  All-zero forms are rejected (zero_pattern).  Rows
-    without a country keep no postcode (the reference's
-    country_without_postcode default).  No-op when the frame carries no
-    country_code column (sanitizer unit-tests on bare name frames)."""
-    from nominatim_spark.pipeline.postcodes import POSTCODE_PATTERNS
+    Conforming postcodes are normalized (uppercased, output template
+    applied, optional country-code prefix stripped); non-conforming ones
+    move to the non-centroid ``unofficial_postcode`` key
+    (``convert_to_address``, the default) or are dropped.  All-zero forms
+    are rejected (zero_pattern).  ``default_pattern`` (the reference's
+    ``default-pattern`` argument) accepts values for countries without a
+    configured format; without it those rows keep no official postcode.
+    Rows without a country keep no postcode (country_without_postcode
+    default).  No-op when the frame carries no country_code column
+    (sanitizer unit-tests on bare name frames).
+
+    Shares its normalization with build_postcodes
+    (postcodes.with_normalized_postcode) so the exact-postcode search
+    shortcut and the postcode table always agree."""
+    from nominatim_spark.pipeline.postcodes import with_normalized_postcode
 
     if "country_code" not in df.columns:
         return df
     pc = F.upper(F.trim(F.col("address").getItem("postcode")))
-    norm = None
-    for cc, pat in POSTCODE_PATTERNS.items():
-        body = pat.lstrip("^").rstrip("$")
-        rx = f"^(?:{cc.upper()}[ -]?)?({body})$"
-        ext = F.regexp_extract(pc, rx, 1)
-        cond = (
-            (F.col("country_code") == cc)
-            & (ext != "")
-            & ~ext.rlike(r"^[0\- ]+$")
+    df = with_normalized_postcode(df, pc)
+    norm = F.col("_pc_norm")
+    if default_pattern is not None:
+        fallback = F.regexp_extract(pc, f"^({default_pattern})$", 1)
+        norm = F.coalesce(
+            norm,
+            F.when((fallback != "") & ~fallback.rlike(r"^[0\- ]+$"),
+                   fallback),
         )
-        norm = (F.when(cond, ext) if norm is None
-                else norm.when(cond, ext))
-    norm = norm.otherwise(F.lit(None).cast("string"))
     keep_bad = (
         F.create_map(F.lit("unofficial_postcode"), pc)
         if convert_to_address
@@ -134,7 +137,7 @@ def clean_postcodes(df: DataFrame, convert_to_address: bool = True,
         "address",
         F.when(F.col("address").isNull(), F.col("address"))
         .otherwise(rewritten),
-    )
+    ).drop("_pc_norm")
 
 
 def delete_names(df: DataFrame, name: str = "",

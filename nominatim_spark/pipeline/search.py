@@ -56,34 +56,20 @@ _HNR_RE = re.compile(r"^(.*?)[ ,]\s*(\d{1,4}(?: ?[a-zA-Z])?)\s*$")
 _DIGIT_TOK = re.compile(r"^\d{1,4}[a-zA-Z]?$")
 _LETTER_TOK = re.compile(r"^[a-zA-Z]$")
 
-# ---- postcode recognition (postcode_parser.py:20-104 re-expression):
-# per-country patterns with an optional country-code prefix ('DE 12345',
-# 'DE-12345'); all-zero forms rejected (postcode_format.py:33-50).
-from nominatim_spark.pipeline.postcodes import POSTCODE_PATTERNS
-
-_PC_RES = [
-    (cc, re.compile(
-        rf"(?:{cc.upper()}[ -]?)?({pat.lstrip('^').rstrip('$')})"))
-    for cc, pat in POSTCODE_PATTERNS.items()
-]
-_PC_ZERO = re.compile(r"[0\- ]+")
-
-
-def _match_postcode(term: str) -> str | None:
-    """Normalized postcode when ``term`` is one (cc prefix stripped,
-    uppercased), else None."""
-    t = term.upper().strip()
-    for _cc, pat in _PC_RES:
-        m = pat.fullmatch(t)
-        if m and not _PC_ZERO.fullmatch(m.group(1)):
-            return m.group(1)
-    return None
+# ---- postcode recognition (postcode_parser.py:20-110 re-expression):
+# the full per-country pattern table (161 countries) compiled into one
+# global alternation with an optional country-code prefix ('DE 12345',
+# 'DE-12345') and per-pattern output normalization; all-zero forms
+# rejected.  See pipeline/postcodes.py.
+from nominatim_spark.pipeline.postcodes import match_postcode as \
+    _match_postcode
 
 
 def _extract_pc(tokens: list[str]) -> tuple[str | None, list[str]]:
-    """Split a leading or trailing postcode window (1-2 tokens, so
-    'CV 12345' works) off a token stream."""
-    for size in (2, 1):
+    """Split a leading or trailing postcode window (1-3 tokens, so
+    'CV 12345' and 'GB EC1R 3HF' work — the reference concatenates up to
+    three terms, postcode_parser.py:63-71) off a token stream."""
+    for size in (3, 2, 1):
         if len(tokens) >= size:
             got = _match_postcode(" ".join(tokens[:size]))
             if got is not None:
