@@ -96,68 +96,102 @@ _P_DIGIT_NAME = 0.1
 MAX_ASSIGN_TOKENS = 9  # the reference bounds assignment enumeration
 
 # special-phrase category table (the reference imports these from the
-# special-phrases wiki into word rows of TOKEN_NEAR_ITEM type,
-# icu_tokenizer.py special-phrase handling; token roles
-# token_assignment.py:53-61).  A query-leading '<category> near/in ...'
-# routes through NearSearch chaining (J18); a category-only query becomes
-# a PoiSearch (viewbox-constrained).
-NEAR_PHRASES: dict[str, tuple[str, str]] = {
-    "restaurant": ("amenity", "restaurant"),
-    "restaurants": ("amenity", "restaurant"),
-    "cafe": ("amenity", "cafe"),
-    "cafes": ("amenity", "cafe"),
-    "bar": ("amenity", "bar"),
-    "pharmacy": ("amenity", "pharmacy"),
-    "school": ("amenity", "school"),
-    "hotel": ("tourism", "hotel"),
-    "hotels": ("tourism", "hotel"),
-    "supermarket": ("shop", "supermarket"),
-}
+# special-phrases wiki into word rows of TOKEN_NEAR_ITEM /
+# TOKEN_QUALIFIER type, icu_tokenizer.py:171-177; token roles
+# token_assignment.py:53-61).  The table is DATA (pipeline/phrases.py:
+# built-in default vocabulary, or a CSV via load_phrases_csv) broadcast
+# into the parse stage with the task closure.
+from nominatim_spark.pipeline.phrases import (
+    DEFAULT_PHRASE_TABLE, NEAR_OPS, match_phrase)
+
+# a category reading without an explicit connector competes with the
+# literal-name reading at a small penalty (the reference runs both
+# searches and lets ranking decide; the batch engine biases the literal)
+_P_PHRASE_READING = 0.1
 
 
-def _near_split(q: str) -> tuple[str | None, str] | None:
-    """'<category> near <rest>' / '<category> in <rest>' -> (near_key,
-    rest); None when the query is not near-item shaped.  A deliberate
-    narrowing of the reference's free near_item placement
-    (token_assignment.py:115-123): the batch engine only routes the
-    explicit connector forms, so ordinary names containing category
-    words ('Cafe Amber') never fan out into near readings."""
-    toks = q.split(None, 2)
-    if (len(toks) >= 3 and toks[0].lower() in NEAR_PHRASES
-            and toks[1].lower() in ("near", "in")):
-        cls, typ = NEAR_PHRASES[toks[0].lower()]
-        return f"{cls}|{typ}", toks[2]
+def _phrase_suffix(toks: list[str], table) -> tuple[int, str, tuple] | None:
+    """Longest phrase-table match at the END of the token stream."""
+    from nominatim_spark.pipeline.phrases import MAX_PHRASE_WORDS
+
+    for n in range(min(len(toks) - 1, MAX_PHRASE_WORDS), 0, -1):
+        key = " ".join(t.lower() for t in toks[-n:])
+        if key in table:
+            return n, table[key][0], table[key][1]
     return None
 
 
-def _assignments(q: str) -> list[tuple]:
+def _assignments(q: str, table=None) -> list[tuple]:
     """Enumerate (name, hnr, addr, postcode, penalty, direction,
-    addr_phrases, near_key) role assignments.
+    addr_phrases, near_key, qual_key) role assignments.
 
-    Near-item readings (db_search_builder.py:86-118): the near-shaped
-    prefix is stripped and every assignment of the REMAINDER (the anchor)
-    is emitted with ``near_key`` set; the literal reading is kept too
-    (the reference also yields both) and dies in the plan stage unless
-    'near' really is an indexed word.  A category-only query yields the
-    PoiSearch assignment (build_poi_search:121-128)."""
+    Special-phrase readings (db_search_builder.py:86-128,
+    token_assignment.py near_item/qualifier placement):
+
+    * '<category> near|in <rest>' — every assignment of the REMAINDER
+      (the anchor) is emitted with ``near_key`` set at no extra penalty;
+    * a LEADING or TRAILING category phrase without a connector (edge
+      placement, the only positions the reference admits) adds a near
+      reading (operator near/in) and a qualifier reading (operator '-',
+      candidate class/type restrict) at +0.1, un-phrased queries only so
+      the aligned comma reading never fans out;
+    * a category-only query yields the PoiSearch assignment
+      (build_poi_search:121-128).
+
+    The literal reading is always kept (the reference also yields both)
+    and the category readings die in the plan stage unless their anchor
+    resolves."""
+    table = DEFAULT_PHRASE_TABLE if table is None else table
     base = q or ""
-    first = base.split(",", 1)[0].strip()
-    if first.lower() in NEAR_PHRASES and first.lower() == base.strip().lower():
-        cls, typ = NEAR_PHRASES[first.lower()]
-        return [("", None, "", None, 0.2, 0, [], f"{cls}|{typ}")]
+    has_comma = "," in base
+    lead = base.split(",", 1)[0].split()
     out: list[tuple] = []
-    ns = _near_split(base)
-    if ns is not None:
-        nk, rest = ns
-        out += [(*a, nk) for a in _enumerate_assignments(rest)]
-    out += [(*a, None) for a in _enumerate_assignments(base)]
-    # dedupe (name, hnr, addr, postcode, near_key) keeping lowest penalty
+    m = match_phrase(lead, table)
+    if (m is not None and not has_comma and m[0] == len(lead)
+            and any(op in NEAR_OPS for op in m[2])):
+        # category-only -> PoiSearch (near/in-typed phrases only:
+        # qualifier-only sequences build no special search,
+        # build_special_search:134-136)
+        return [("", None, "", None, 0.2, 0, [], m[1], None)]
+    if m is not None and len(lead) > m[0] \
+            and lead[m[0]].lower() in ("near", "in"):
+        # the anchor keeps its comma phrasing ('restaurant near Birch
+        # Street, City0' resolves the aligned street+city reading)
+        parts = base.split(None, m[0] + 1)
+        rest = parts[m[0] + 1] if len(parts) > m[0] + 1 else ""
+        if rest.strip():
+            out += [(*a, m[1], None) for a in _enumerate_assignments(rest)]
+    elif m is not None and not has_comma and len(lead) > m[0]:
+        rest = " ".join(lead[m[0]:])
+        if any(op in NEAR_OPS for op in m[2]):
+            out += [(*_bump(a), m[1], None)
+                    for a in _enumerate_assignments(rest)]
+        if "-" in m[2]:
+            out += [(*_bump(a), None, m[1])
+                    for a in _enumerate_assignments(rest)]
+    if not has_comma:
+        sm = _phrase_suffix(lead, table)
+        if sm is not None:
+            rest = " ".join(lead[:-sm[0]])
+            if any(op in NEAR_OPS for op in sm[2]):
+                out += [(*_bump(a), sm[1], None)
+                        for a in _enumerate_assignments(rest)]
+            if "-" in sm[2]:
+                out += [(*_bump(a), None, sm[1])
+                        for a in _enumerate_assignments(rest)]
+    out += [(*a, None, None) for a in _enumerate_assignments(base)]
+    # dedupe (name, hnr, addr, postcode, near_key, qual_key) keeping the
+    # lowest penalty
     best: dict[tuple, tuple] = {}
     for a in out:
-        k = (a[0], a[1], a[2], a[3], a[7])
+        k = (a[0], a[1], a[2], a[3], a[7], a[8])
         if k not in best or a[4] < best[k][4]:
             best[k] = a
     return list(best.values())
+
+
+def _bump(a: tuple, by: float = _P_PHRASE_READING) -> tuple:
+    return (*a[:4], a[4] + by, *a[5:])
 
 
 def _enumerate_assignments(q: str) -> list[tuple]:
@@ -314,7 +348,7 @@ def _enumerate_assignments(q: str) -> list[tuple]:
     return list(best.values())
 
 
-def _parse_batch(qtext: pd.Series, pre=None) -> pd.DataFrame:
+def _parse_batch(qtext: pd.Series, pre=None, table=None) -> pd.DataFrame:
     rows = []
     for pos, q in enumerate(qtext):
         if pre is not None and q:
@@ -323,20 +357,21 @@ def _parse_batch(qtext: pd.Series, pre=None) -> pd.DataFrame:
             norm_translit(p.strip())
             for p in (q or "").split(",") if p.strip()
         )
-        for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk) in enumerate(
-                _assignments(q)):
+        for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk, qk) in enumerate(
+                _assignments(q, table)):
             rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full,
-                         aphr, nk))
+                         aphr, nk, qk))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
                  "postcode", "apenalty", "adirection", "full_norm",
-                 "addr_phrases", "near_key"],
+                 "addr_phrases", "near_key", "qual_key"],
     )
 
 
 def parse_queries(queries: DataFrame, text_col: str = "qtext",
-                  preprocessors: list | None = None) -> DataFrame:
+                  preprocessors: list | None = None,
+                  phrases=None) -> DataFrame:
     """Explode each query into its role assignments: one row per
     (query, assignment) with name_norm / hnr / addr_norm / postcode /
     apenalty / adirection columns (plus the full normalized query for the
@@ -347,7 +382,10 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext",
 
     ``preprocessors``: query-preprocessing chain config (see
     pipeline/preprocess.py) applied to each query text before
-    assignment enumeration; defaults to the standard chain."""
+    assignment enumeration; defaults to the standard chain.
+    ``phrases``: special-phrase table (pipeline/phrases.py) for the
+    category readings; defaults to the built-in vocabulary.  The table
+    ships to the workers inside the task closure (a few KB)."""
     from nominatim_spark.pipeline.preprocess import compile_chain
 
     pre = compile_chain(preprocessors)
@@ -356,11 +394,11 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext",
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
          ", postcode string, apenalty double, adirection int"
          ", full_norm string, addr_phrases array<string>"
-         ", near_key string")
+         ", near_key string, qual_key string")
 
     def run(batches):
         for pdf in batches:
-            parsed = _parse_batch(pdf[text_col], pre=pre)
+            parsed = _parse_batch(pdf[text_col], pre=pre, table=phrases)
             base = pdf.reset_index(drop=True)
             merged = base.iloc[parsed["_pos"]].reset_index(drop=True)
             yield pd.concat(
@@ -576,16 +614,19 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
                 F.size(F.split(p, " ")).alias("_plen"),
             ),
         ))
+    qual = (F.col("qual_key") if "qual_key" in q.columns
+            else F.lit(None).cast("string")).alias("qual_key")
     toks = q.select(
-        "query_id", "assign_id", "apenalty",
+        "query_id", "assign_id", "apenalty", qual,
         F.explode(F.concat(*parts)).alias("_t"),
-    ).select("query_id", "assign_id", "apenalty", "_t.*")
+    ).select("query_id", "assign_id", "apenalty", "qual_key", "_t.*")
 
     wdict = _batch_word_dict(word, toks, has_stats=has_stats)
 
     toks = toks.join(F.broadcast(wdict), ["_tok", "_ty"], "left")
     agg = toks.groupBy("query_id", "assign_id").agg(
         F.first("apenalty").alias("apenalty"),
+        F.first("qual_key").alias("qual_key"),
         F.sum(F.when(F.col("_role") == "n", 1).otherwise(0)).alias("_n_name"),
         F.sum(F.when((F.col("_role") == "n") & F.col("_wid").isNotNull(), 1)
               .otherwise(0)).alias("_n_name_hit"),
@@ -626,7 +667,8 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         & (F.col("_n_addr_hit") == F.col("_n_addr"))
     )
     return agg.select(
-        "query_id", "assign_id", "apenalty", "name_ids", "addr_ids",
+        "query_id", "assign_id", "apenalty", "qual_key", "name_ids",
+        "addr_ids",
         F.when(
             F.col("_w_full_id").isNotNull()
             & (F.col("_drive_count") >= W_LOOKUP_MIN_COUNT),
@@ -663,6 +705,7 @@ def score_hits(
     excluded_place_ids: list[int] | None = None,
     near_radius_deg: float = 0.02,
     preprocessors: list | None = None,
+    phrases=None,
 ) -> DataFrame:
     """All scored candidate hits per query (the ranked union the final
     top-1/top-k cuts operate on).
@@ -683,8 +726,8 @@ def score_hits(
     # persist the parsed assignments BEFORE the direction fold — the fold
     # reads the parse output three times (split filter, token explode,
     # main flow) and the Python parse must run exactly once
-    parsed = parse_queries(queries, text_col,
-                           preprocessors=preprocessors).persist()
+    parsed = parse_queries(queries, text_col, preprocessors=preprocessors,
+                           phrases=phrases).persist()
     # ONE metadata probe over the cached parse feeds every conditional
     # lane below — replaces four serial isEmpty() driver round trips
     # (direction fold, postcode penalty, near chain, poi search)
@@ -736,6 +779,12 @@ def score_hits(
     cand = (
         plan.join(drive_posts, "drive_id")
         .join(sn, "place_id")
+        # qualifier restrict (place_search.py qualifier filter): a
+        # category-word reading keeps only candidates of that class/type
+        .filter(
+            F.col("qual_key").isNull()
+            | (F.concat_ws("|", "class", "type") == F.col("qual_key"))
+        )
         .filter(F.expr(
             "forall(name_ids, i -> array_contains(name_vector, i))"
         ))
@@ -767,8 +816,9 @@ def score_hits(
                 )
             ),
         )
-        .drop("drive_id", "name_ids", "addr_ids", "name_full_id", "n_name",
-              "addr_ranks", "name_vector", "nameaddress_vector")
+        .drop("drive_id", "qual_key", "name_ids", "addr_ids",
+              "name_full_id", "n_name", "addr_ranks", "name_vector",
+              "nameaddress_vector")
     )
     # ---- candidate-side search knobs (filters push below the persist so
     # excluded/out-of-layer rows never enter the cached exchange)

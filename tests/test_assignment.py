@@ -74,7 +74,8 @@ def test_leading_housenumber_penalized():
 
 def test_postcode_only_assignment():
     a = _assignments("47000")
-    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [], None)]
+    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [], None,
+                  None)]
 
 
 def test_postcode_cc_prefix():
@@ -259,7 +260,8 @@ def test_near_item_assignment():
     assert plain
     # category-only query -> PoiSearch assignment
     poi = _assignments("restaurant")
-    assert poi == [("", None, "", None, 0.2, 0, [], "amenity|restaurant")]
+    assert poi == [("", None, "", None, 0.2, 0, [], "amenity|restaurant",
+                    None)]
 
 
 def test_query_preprocessors():
