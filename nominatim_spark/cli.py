@@ -138,11 +138,11 @@ def cmd_reverse(args) -> int:
     from nominatim_spark.pipeline.reverse import reverse_geocode
 
     spark = _get_spark(args)
-    idx, _ = _load_index(spark, args)
+    idx, osmline = _load_index(spark, args)
     pts = spark.createDataFrame(
         [(0, args.lon, args.lat)], "point_id long, lon double, lat double"
     )
-    res = reverse_geocode(spark, idx, pts)
+    res = reverse_geocode(spark, idx, pts, osmline=osmline)
     _print_rows(res, args.format, idx)
     return 0
 

@@ -2,21 +2,40 @@
 
 The reference's ReverseGeocoder (/root/reference/src/nominatim_api/
 reverse.py:607-645) cascades per point: street/POI distance search within
-0.006 deg -> area containment ordered by rank desc -> country fallback.
+0.006 deg -> housenumber/interpolation refinement -> area containment
+ordered by rank desc (with place-node refinement) -> country fallback.
 Here each tier is one distributed join over *all* points at once, and the
 cascade is a coalesce over tier outputs:
 
   tier 1: kNN ring expansion against rank 26-30 places (J6) with the
-          reference's max radius (0.006 deg for streets)
+          reference's max radius (0.006 deg for streets); a STREET winner
+          refines to the nearest of its child housenumber points within
+          0.001 deg, or to an interpolation segment of the street when
+          that is closer (reverse.py:242-320 _find_housenumber_for_street
+          / _find_interpolation_for_street, applied at :322-389)
   tier 2: point-in-polygon cover join against areas rank 5..25, deepest
-          rank_address wins (T5 semantics: rank desc, then smallest area)
+          rank_address wins (T5 semantics: rank desc, then smallest
+          area); the winning area refines to a better place NODE inside
+          it when one lies within its rank's reverse_place_diameter of
+          the point (reverse.py:391-459 IntersectsReverseDistance /
+          IsBelowReverseDistance, ranking.sql:56-77)
   tier 3: country polygon containment (rank 1..4 — reverse.py:520-605)
 
-Returns one row per input point with the chosen place + tier label.
+Batch narrowings (documented): interpolation refinement considers the
+winning street's own lines (the reference's parent-less variant also
+scans nearby foreign lines); place-node refinement considers node ranks
+>= 13 (diameter <= 0.16 deg) so the candidate join stays radius-bounded —
+the reference's larger-diameter node ranks are state-level nodes that
+rarely carry reverse results.
+
+Returns one row per input point with the chosen place + tier label + the
+refined housenumber when one was found.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +44,49 @@ from nominatim_spark.operators.spatial import (
 from nominatim_spark.pipeline.placex import IndexTables
 
 MAX_STREET_DIST_DEG = 0.006  # reverse.py:322-389 street search radius
+HOUSE_DIST_DEG = 0.001       # housenumber/interpolation refine radius
+NODE_REFINE_MIN_RANK = 13    # batch floor for place-node refinement
+
+
+def _reverse_place_diameter(rs):
+    """reverse_place_diameter(rank_search) — ranking.sql:56-77."""
+    return (
+        F.when(rs <= 4, 5.0).when(rs <= 8, 1.8).when(rs <= 12, 0.6)
+        .when(rs <= 17, 0.16).when(rs <= 18, 0.08).when(rs <= 19, 0.04)
+        .otherwise(0.02)
+    )
+
+
+def _line_near_udf():
+    """Squared distance from (lon, lat) to a WKB linestring + the
+    fraction along the line of the closest point (ST_Distance +
+    ST_LineLocatePoint, the osmline refinement's two measures).
+    Built lazily — pandas_udf return-type parsing needs a live session."""
+
+    @F.pandas_udf("dist2 double, frac double")
+    def _line_near(geom: pd.Series, lon: pd.Series, lat: pd.Series
+                   ) -> pd.DataFrame:
+        from nominatim_spark.geometry.ops import line_locate_point
+        from nominatim_spark.geometry.wkb import parse_wkb
+
+        d2s = np.empty(len(geom))
+        fracs = np.empty(len(geom))
+        for i, (g, x, y) in enumerate(zip(geom, lon, lat)):
+            coords = parse_wkb(bytes(g)).all_coords()
+            p = np.array([float(x), float(y)])
+            a = coords[:-1]
+            d = np.diff(coords, axis=0)
+            seg_len2 = np.sum(d * d, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.clip(
+                    np.sum((p - a) * d, axis=1) / seg_len2, 0.0, 1.0)
+            t = np.nan_to_num(t)
+            proj = a + t[:, None] * d
+            d2s[i] = float(np.min(np.sum((proj - p) ** 2, axis=1)))
+            fracs[i] = line_locate_point(coords, float(x), float(y))
+        return pd.DataFrame({"dist2": d2s, "frac": fracs})
+
+    return _line_near
 
 
 def reverse_geocode(
@@ -34,12 +96,14 @@ def reverse_geocode(
     *,
     point_key: str = "point_id",
     max_rank: int = 30,
+    osmline: DataFrame | None = None,
 ) -> DataFrame:
     """points(point_id, lon, lat) -> best place per point."""
     placex = idx.placex
     if "linked_place_id" in placex.columns:
         # linked label nodes never surface as reverse results (P5 guard)
         placex = placex.filter(F.col("linked_place_id").isNull())
+    pts = points.select(point_key, "lon", "lat")
 
     # ---- tier 1: nearest street/POI within the radius
     near_places = placex.filter(
@@ -49,9 +113,102 @@ def reverse_geocode(
         points, near_places, res=7, point_key=point_key, cand_key="cand_id",
         k_cells_start=2, k_cells_max=4,
     )
-    tier1 = knn.filter(
+    t1 = knn.filter(
         F.col("dist2") <= MAX_STREET_DIST_DEG ** 2
-    ).select(point_key, F.col("cand_id").alias("t1_place"))
+    ).join(
+        placex.select(F.col("place_id").alias("cand_id"),
+                      F.col("rank_address").alias("_t1_ra")),
+        "cand_id",
+    ).select(point_key, F.col("cand_id").alias("t1_place"), "_t1_ra")
+
+    # ---- tier 1 refinement: street winner -> housenumber point or
+    # interpolation segment of that street (reverse.py:242-320,:322-389)
+    house_ref = interp_ref = None
+    if max_rank > 27:
+        streets = (
+            t1.filter(F.col("_t1_ra").between(26, 27))
+            .select(point_key, F.col("t1_place").alias("_street"))
+            .join(pts, point_key)
+        )
+        houses = placex.filter(
+            (F.col("rank_address") == 30)
+            & F.col("address").getItem("housenumber").isNotNull()
+            & F.col("parent_place_id").isNotNull()
+        ).select(
+            F.col("parent_place_id").alias("_street"),
+            F.col("place_id").alias("_h_id"),
+            F.col("address").getItem("housenumber").alias("_h_hnr"),
+            F.col("lon").alias("_h_lon"), F.col("lat").alias("_h_lat"),
+        )
+        house_ref = (
+            streets.join(houses, "_street")
+            .withColumn(
+                "_hd2",
+                (F.col("_h_lon") - F.col("lon")) ** 2
+                + (F.col("_h_lat") - F.col("lat")) ** 2,
+            )
+            .filter(F.col("_hd2") <= HOUSE_DIST_DEG ** 2)
+            .groupBy(point_key)
+            .agg(F.expr(
+                "min_by(struct(_h_id, _h_hnr, _hd2), struct(_hd2, _h_id))"
+            ).alias("_h"))
+        )
+        if osmline is not None:
+            lines = osmline.select(
+                F.col("parent_place_id").alias("_street"),
+                "osmline_id", "way_id", "startnumber", "endnumber", "step",
+                "geometry",
+            )
+            ln = _line_near_udf()("geometry", "lon", "lat")
+            interp_ref = (
+                streets.join(lines, "_street")
+                .withColumn("_ln", ln)
+                .filter(F.col("_ln.dist2") <= HOUSE_DIST_DEG ** 2)
+                .select(
+                    point_key, "osmline_id", "way_id",
+                    F.col("_ln.dist2").alias("_id2"),
+                    # _interpolated_housenumber (reverse.py:57-67):
+                    # nearest step position along the segment
+                    (F.col("startnumber") + F.floor(
+                        (F.col("endnumber") - F.col("startnumber"))
+                        * F.col("_ln.frac") / F.col("step") + 0.5
+                    ).cast("int") * F.col("step")).alias("_i_hnr"),
+                )
+                .groupBy(point_key)
+                .agg(F.expr(
+                    "min_by(struct(osmline_id, way_id, _i_hnr, _id2), "
+                    "struct(_id2, osmline_id))"
+                ).alias("_i"))
+            )
+
+    t1r = t1.select(point_key, "t1_place")
+    t1r = (t1r.join(house_ref, point_key, "left") if house_ref is not None
+           else t1r.withColumn("_h", F.lit(None).cast(
+               "struct<_h_id:long,_h_hnr:string,_hd2:double>")))
+    t1r = (t1r.join(interp_ref, point_key, "left") if interp_ref is not None
+           else t1r.withColumn("_i", F.lit(None).cast(
+               "struct<osmline_id:long,way_id:long,_i_hnr:int,"
+               "_id2:double>")))
+    # the interpolation wins only when strictly closer than the chosen
+    # housenumber (or the 0.001 street refine radius)
+    use_interp = (
+        F.col("_i").isNotNull()
+        & (F.col("_i._id2")
+           < F.coalesce(F.col("_h._hd2"), F.lit(HOUSE_DIST_DEG ** 2)))
+    )
+    t1r = t1r.select(
+        point_key,
+        F.when(use_interp, F.col("_i.osmline_id"))
+        .when(F.col("_h").isNotNull(), F.col("_h._h_id"))
+        .otherwise(F.col("t1_place")).alias("t1_place"),
+        F.when(use_interp, F.col("_i._i_hnr").cast("string"))
+        .when(F.col("_h").isNotNull(), F.col("_h._h_hnr"))
+        .alias("t1_hnr"),
+        F.when(use_interp, F.lit("interpolation"))
+        .when(F.col("_h").isNotNull(), F.lit("house"))
+        .otherwise(F.lit("street_poi")).alias("t1_kind"),
+        F.when(use_interp, F.col("_i.way_id")).alias("_i_way"),
+    )
 
     # ---- tier 2: deepest containing area (distributed PiP cover join —
     # the area table scales with the planet, nothing reaches the driver).
@@ -61,20 +218,63 @@ def reverse_geocode(
     ).select(
         F.col("place_id").alias("a_id"),
         F.col("rank_address").alias("a_addr"),
+        F.col("rank_search").alias("a_rs"),
         ((F.col("maxx") - F.col("minx"))
          * (F.col("maxy") - F.col("miny"))).alias("a_area"),
         "geometry",
     )
     hit = point_in_polygon_join_dist(
-        points, areas, poly_key="a_id", carry=("a_addr", "a_area"),
+        points, areas, poly_key="a_id", carry=("a_addr", "a_area", "a_rs"),
     )
     w = Window.partitionBy(point_key).orderBy(
         F.col("a_addr").desc(), F.col("a_area").asc(), F.col("a_id")
     )
-    tier2 = (
+    t2w = (
         hit.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
-        .select(point_key, F.col("a_id").alias("t2_place"))
+        .select(point_key, F.col("a_id").alias("t2_place"), "a_rs")
+    )
+
+    # ---- tier 2 refinement: better place node inside the winning area
+    # (reverse.py:436-459): rank_search above the area's, within its
+    # rank's reverse diameter of the point, contained in the area.
+    nodes = placex.filter(
+        (F.col("osm_type") == "N")
+        & F.col("rank_address").between(4, 25)
+        & (F.col("rank_search") >= NODE_REFINE_MIN_RANK)
+        & F.col("name").getItem("name").isNotNull()
+    ).select(
+        F.col("place_id").alias("n_id"),
+        F.col("rank_search").alias("n_rs"),
+        F.col("lon").alias("n_lon"), F.col("lat").alias("n_lat"),
+    )
+    node_area = point_in_polygon_join_dist(
+        nodes.select(F.col("n_id").alias("point_id"),
+                     F.col("n_lon").alias("lon"),
+                     F.col("n_lat").alias("lat")),
+        areas.select("a_id", "geometry"), poly_key="a_id",
+    ).select(F.col("point_id").alias("n_id"),
+             F.col("a_id").alias("t2_place"))
+    nref = (
+        t2w.join(pts, point_key)
+        .join(node_area, "t2_place")
+        .join(nodes, "n_id")
+        .filter(F.col("n_rs") > F.col("a_rs"))
+        .withColumn(
+            "_nd2",
+            (F.col("n_lon") - F.col("lon")) ** 2
+            + (F.col("n_lat") - F.col("lat")) ** 2,
+        )
+        .filter(F.col("_nd2")
+                < _reverse_place_diameter(F.col("n_rs")) ** 2)
+        .groupBy(point_key)
+        .agg(F.expr(
+            "min_by(n_id, struct(-n_rs, _nd2, n_id))").alias("n_best"))
+    )
+    t2r = t2w.join(nref, point_key, "left").select(
+        point_key,
+        F.coalesce("n_best", "t2_place").alias("t2_place"),
+        F.col("n_best").isNotNull().alias("t2_is_node"),
     )
 
     # ---- tier 3: country containment (the reference's country fallback,
@@ -100,21 +300,45 @@ def reverse_geocode(
 
     # ---- cascade
     out = (
-        points.join(tier1, point_key, "left")
-        .join(tier2, point_key, "left")
+        points.join(t1r, point_key, "left")
+        .join(t2r, point_key, "left")
         .join(tier3, point_key, "left")
         .withColumn("place_id", F.coalesce("t1_place", "t2_place", "t3_place"))
         .withColumn(
             "tier",
-            F.when(F.col("t1_place").isNotNull(), "street_poi")
-            .when(F.col("t2_place").isNotNull(), "area")
+            F.when(F.col("t1_place").isNotNull(), F.col("t1_kind"))
+            .when(
+                F.col("t2_place").isNotNull(),
+                F.when(F.col("t2_is_node"), "place_node").otherwise("area"),
+            )
             .when(F.col("t3_place").isNotNull(), "country")
             .otherwise("none"),
         )
-        .drop("t1_place", "t2_place", "t3_place")
+        .withColumn("housenumber", F.col("t1_hnr"))
+        .drop("t1_place", "t2_place", "t3_place", "t1_kind", "t1_hnr",
+              "t2_is_node")
     )
     info = placex.select(
         "place_id", "osm_type", "osm_id", "class", "type",
         "rank_search", "rank_address", "country_code",
     )
-    return out.join(info, "place_id", "left")
+    out = out.join(info, "place_id", "left")
+    # interpolation winners live outside placex: fill their attributes
+    # (create_from_osmline_row shape)
+    is_interp = F.col("tier") == "interpolation"
+    out = (
+        out.withColumn("osm_type", F.when(is_interp, "W")
+                       .otherwise(F.col("osm_type")))
+        .withColumn("osm_id", F.when(is_interp, F.col("_i_way"))
+                    .otherwise(F.col("osm_id")))
+        .withColumn("class", F.when(is_interp, "place")
+                    .otherwise(F.col("class")))
+        .withColumn("type", F.when(is_interp, "houses")
+                    .otherwise(F.col("type")))
+        .withColumn("rank_search", F.when(is_interp, 30)
+                    .otherwise(F.col("rank_search")))
+        .withColumn("rank_address", F.when(is_interp, 30)
+                    .otherwise(F.col("rank_address")))
+        .drop("_i_way")
+    )
+    return out

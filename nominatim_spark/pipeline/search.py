@@ -839,13 +839,29 @@ def score_hits(
     # the query postcode's centroid (2.0 when unknown); with no address
     # terms a flat 1.0 so PostcodeSearch outranks it.  The postcode table
     # is semi-joined down to the batch's postcodes before the broadcast.
-    if postcodes is not None and has_pc_name:
+    if has_pc_name:
         qpc = q.filter(
             F.col("postcode").isNotNull() & (F.col("name_norm") != "")
         ).select(
             "query_id", "assign_id", F.upper("postcode").alias("_qpc"),
             (F.col("addr_norm") != "").alias("_has_addr"),
         )
+    if postcodes is None and has_pc_name:
+        # no postcode table: a name assignment that consumed a token as
+        # a postcode cannot verify it — flat 1.0 so readings that
+        # actually match the token (housenumber, address word) outrank it
+        cand = (
+            cand.join(qpc.select("query_id", "assign_id",
+                                 F.lit(True).alias("_haspc")),
+                      ["query_id", "assign_id"], "left")
+            .withColumn(
+                "apenalty",
+                F.col("apenalty")
+                + F.when(F.col("_haspc"), F.lit(1.0)).otherwise(F.lit(0.0)),
+            )
+            .drop("_haspc")
+        )
+    if postcodes is not None and has_pc_name:
         pc_cents = (
             postcodes
             .withColumn("_qpc", F.upper("postcode"))

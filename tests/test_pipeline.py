@@ -322,3 +322,57 @@ def test_wikidata_demotion_requires_equal_geometry(spark, tmp_path_factory):
     assert ra[801] == 0
     assert ra[802] > 0
     assert ra[800] > 0
+
+
+def test_reverse_housenumber_refinement(spark, index):
+    """A street winner refines to the nearest child housenumber point
+    within 0.001 deg, or to the street's interpolation segment when that
+    is closer (reverse.py:242-320 applied at :322-389)."""
+    idx, osmline = index
+    cx, cy = synth.city_center(0)
+    y_street = cy - 0.1                 # street j=0 line
+    pts = spark.createDataFrame(
+        [
+            # near street centroid AND within 0.001 of house k=2 (x=cx,
+            # y=y_street+0.0006, housenumber 5 at this fixture scale)
+            ("near_house", cx, y_street + 0.0002),
+            # near street centroid, 0.0005 off the interpolation line
+            # (y = y_street - 0.004) -> interpolated housenumber
+            ("near_interp", cx, y_street - 0.0035),
+        ],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r for r in reverse_geocode(
+        spark, idx, pts, osmline=osmline).collect()}
+    assert res["near_house"].tier == "house"
+    assert res["near_house"].housenumber == "5"
+    assert res["near_house"]["class"] == "building"
+    assert res["near_interp"].tier == "interpolation"
+    # frac 0.5 along 21..39 step 2 -> 21 + round(4.5)*2 = 31
+    assert res["near_interp"].housenumber == "31"
+    assert (res["near_interp"].osm_type, res["near_interp"].osm_id) == (
+        "W", 5000000)
+    assert res["near_interp"]["type"] == "houses"
+
+
+def test_reverse_place_node_refinement(spark, index):
+    """A point inside a city polygon near a suburb node returns the
+    suburb node, not the city (IntersectsReverseDistance /
+    IsBelowReverseDistance, reverse.py:436-459)."""
+    idx, _ = index
+    cx, cy = synth.city_center(0)
+    pts = spark.createDataFrame(
+        [
+            # suburb node at (cx-0.06, cy-0.05); point 0.005 away,
+            # inside city 0's polygon, off every street/house
+            ("near_suburb", cx - 0.06, cy - 0.045),
+            # same city, far from any suburb node -> city itself
+            ("mid_city", cx + 0.002, cy + 0.07),
+        ],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r for r in reverse_geocode(spark, idx, pts).collect()}
+    assert res["near_suburb"].tier == "place_node"
+    assert res["near_suburb"]["type"] == "suburb"
+    assert res["mid_city"].tier == "area"
+    assert res["mid_city"].osm_id == 100
