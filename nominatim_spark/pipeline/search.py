@@ -42,6 +42,7 @@ AQE skew handling covers hot city-name drive tokens.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import pandas as pd
@@ -348,6 +349,79 @@ def _enumerate_assignments(q: str) -> list[tuple]:
     return list(best.values())
 
 
+# address-phrase ranking ladder (get_addr_ranking re-expression,
+# db_search_builder.py:314-366): per phrase, the alternative readings of
+# its word sequence — every segmentation into full-word 'W' spans with
+# the uncovered positions read as partials.  A path pays the word-break
+# penalty (0.1) for every internal boundary NOT absorbed inside a span;
+# the pure-partial path becomes the ranking default (+0.3, the
+# reference's ranks[0].penalty + 0.3).  Phrases longer than
+# _LADDER_MAX_WORDS keep the single whole-phrase path (the heap's
+# bail-out shape).  Paths are capped at 10 like the reference's heap.
+_LADDER_MAX_WORDS = 4
+_LADDER_MAX_PATHS = 10
+
+
+def _addr_ladder(aphr: list[str]):
+    """[phrase, ...] -> (spans, paths, dflts) for the plan stage:
+    spans  = [{pos, sid, txt}]              (W dictionary probes)
+    paths  = [{pos, pen, sids}]             (rank entries per phrase)
+    dflts  = [default penalty per phrase]
+
+    Memoized per phrase tuple — batches repeat the same address phrases
+    (city names) constantly, and the outputs are read-only.
+    """
+    return _addr_ladder_cached(tuple(aphr))
+
+
+@functools.lru_cache(maxsize=65536)
+def _addr_ladder_cached(aphr: tuple):
+    spans: list[dict] = []
+    paths: list[dict] = []
+    dflts: list[float] = []
+    for pos, phrase in enumerate(aphr):
+        words = phrase.split()
+        k = len(words)
+        dflts.append(0.3 + _P_SPLIT * (k - 1))
+        span_sid: dict[tuple[int, int], int] = {}
+
+        def sid_of(s: int, e: int) -> int:
+            if (s, e) not in span_sid:
+                span_sid[(s, e)] = len(span_sid)
+                spans.append({"pos": pos, "sid": span_sid[(s, e)],
+                              "txt": " ".join(words[s:e])})
+            return span_sid[(s, e)]
+
+        if k > _LADDER_MAX_WORDS:
+            paths.append({"pos": pos, "pen": 0.0,
+                          "sids": [sid_of(0, k)]})
+            continue
+
+        def rec(i: int):
+            if i == k:
+                yield []
+                return
+            for rest in rec(i + 1):       # partial at i
+                yield rest
+            for j in range(i + 1, k + 1):  # W span [i, j)
+                for rest in rec(j):
+                    yield [(i, j)] + rest
+
+        cands = []
+        for segs in rec(0):
+            if not segs:
+                continue  # pure-partial path -> the default
+            inside = {b for s, e in segs for b in range(s + 1, e)}
+            pen = _P_SPLIT * sum(
+                1 for b in range(1, k) if b not in inside)
+            cands.append((pen, segs))
+        cands.sort(key=lambda c: (c[0], len(c[1])))
+        for pen, segs in cands[:_LADDER_MAX_PATHS]:
+            paths.append({"pos": pos, "pen": pen,
+                          "sids": [sid_of(s, e) for s, e in segs]})
+    return spans, paths, dflts
+
+
 def _parse_batch(qtext: pd.Series, pre=None, table=None) -> pd.DataFrame:
     rows = []
     for pos, q in enumerate(qtext):
@@ -359,13 +433,15 @@ def _parse_batch(qtext: pd.Series, pre=None, table=None) -> pd.DataFrame:
         )
         for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk, qk) in enumerate(
                 _assignments(q, table)):
+            spans, paths, dflts = _addr_ladder(aphr)
             rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full,
-                         aphr, nk, qk))
+                         aphr, nk, qk, spans, paths, dflts))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
                  "postcode", "apenalty", "adirection", "full_norm",
-                 "addr_phrases", "near_key", "qual_key"],
+                 "addr_phrases", "near_key", "qual_key", "addr_spans",
+                 "addr_paths", "addr_dflts"],
     )
 
 
@@ -394,7 +470,10 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext",
     ) + (", assign_id int, name_norm string, hnr string, addr_norm string"
          ", postcode string, apenalty double, adirection int"
          ", full_norm string, addr_phrases array<string>"
-         ", near_key string, qual_key string")
+         ", near_key string, qual_key string"
+         ", addr_spans array<struct<pos:int,sid:int,txt:string>>"
+         ", addr_paths array<struct<pos:int,pen:double,sids:array<int>>>"
+         ", addr_dflts array<double>")
 
     def run(batches):
         for pdf in batches:
@@ -558,8 +637,10 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
       ranking.sql:327-345): ``name_full_id`` / ``n_name`` (candidates
       holding the full-word token pay 0, others the default
       ``0.2 + 0.1*(n_name-1)``) and ``addr_ranks`` (one struct per
-      address PHRASE: full-word id when indexed, fallback default
-      ``0.3 + 0.1*(words-1)``).
+      address PHRASE: the full multi-path LADDER — every full-word
+      segmentation of the phrase as (penalty, [W ids]) entries built by
+      _addr_ladder, get_addr_ranking's heap re-expressed — with the
+      pure-partial fallback default ``0.3 + 0.1*(words-1)``).
 
     The remaining tokens are NOT joined against the posting tables at
     all: candidates carry their name_vector/nameaddress_vector arrays,
@@ -574,7 +655,7 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     form cost an extra shuffle + two joins per batch.
     """
     has_stats = "name_count" in word.columns
-    has_phrases = "addr_phrases" in q.columns
+    has_spans = "addr_spans" in q.columns
 
     parts = [
         F.transform(
@@ -605,21 +686,37 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         ).cast("array<struct<_tok:string,_ty:string,_role:string,"
                "_pos:int,_plen:int>>")),
     ]
-    if has_phrases:
+    if has_spans:
+        # one W probe per ladder SPAN (sub-span full-word readings of
+        # each address phrase — get_addr_ranking's path vocabulary)
         parts.append(F.transform(
-            F.col("addr_phrases"),
-            lambda p, i: F.struct(
-                p.alias("_tok"), F.lit("W").alias("_ty"),
-                F.lit("p").alias("_role"), i.alias("_pos"),
-                F.size(F.split(p, " ")).alias("_plen"),
+            F.col("addr_spans"),
+            lambda s: F.struct(
+                s["txt"].alias("_tok"), F.lit("W").alias("_ty"),
+                F.lit("p").alias("_role"), s["pos"].alias("_pos"),
+                s["sid"].alias("_plen"),
             ),
         ))
     qual = (F.col("qual_key") if "qual_key" in q.columns
             else F.lit(None).cast("string")).alias("qual_key")
+    paths = (F.col("addr_paths") if has_spans else F.expr("array()").cast(
+        "array<struct<pos:int,pen:double,sids:array<int>>>"))
+    dflts = (F.col("addr_dflts") if has_spans
+             else F.expr("array()").cast("array<double>"))
+    # the ladder arrays ride ONLY the first exploded row of each
+    # assignment (posexplode index 0) — attaching them to every token row
+    # would duplicate them through the explode and shuffle N copies into
+    # the groupBy (measured ~20% of the flagship parse-plan wall)
     toks = q.select(
         "query_id", "assign_id", "apenalty", qual,
-        F.explode(F.concat(*parts)).alias("_t"),
-    ).select("query_id", "assign_id", "apenalty", "qual_key", "_t.*")
+        F.posexplode(F.concat(*parts)).alias("_ti", "_t"),
+        paths.alias("_ap"), dflts.alias("_ad"),
+    ).select(
+        "query_id", "assign_id", "apenalty", "qual_key",
+        F.when(F.col("_ti") == 0, F.col("_ap")).alias("addr_paths"),
+        F.when(F.col("_ti") == 0, F.col("_ad")).alias("addr_dflts"),
+        "_t.*",
+    )
 
     wdict = _batch_word_dict(word, toks, has_stats=has_stats)
 
@@ -648,24 +745,35 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         .alias("_drive_count"),
         F.max(F.when(F.col("_role") == "f", F.col("_wid")))
         .alias("_w_full_id"),
-        F.transform(
-            F.array_sort(F.collect_list(F.when(
-                F.col("_role") == "p",
-                F.struct(
-                    "_pos",
-                    F.col("_wid").alias("id"),
-                    (F.lit(0.3) + F.lit(0.1) * (F.col("_plen") - 1))
-                    .alias("dflt"),
-                ),
-            ))),
-            lambda s: F.struct(s["id"].alias("id"),
-                               s["dflt"].alias("dflt")),
-        ).alias("addr_ranks"),
+        F.collect_list(F.when(
+            F.col("_role") == "p",
+            F.struct(F.col("_pos").alias("pos"),
+                     F.col("_plen").alias("sid"),
+                     F.col("_wid").alias("wid")),
+        )).alias("_span_hits"),
+        F.first("addr_paths", ignorenulls=True).alias("_paths"),
+        F.first("addr_dflts", ignorenulls=True).alias("_dflts"),
     ).filter(
         (F.col("_n_name") > 0)
         & (F.col("_n_name_hit") == F.col("_n_name"))
         & (F.col("_n_addr_hit") == F.col("_n_addr"))
     )
+    # assemble the per-phrase ranking ladder: each path's span ids are
+    # resolved through the probe results; a path with any unindexed span
+    # can never match and is dropped (weigh_search only consults
+    # materialized token sets, ranking.sql:327-345)
+    agg = agg.withColumn("_smap", F.expr(
+        "map_from_entries(transform(_span_hits, "
+        "h -> struct(h.pos * 100 + h.sid, h.wid)))"
+    )).withColumn("addr_ranks", F.expr(
+        "IF(size(_dflts) = 0, NULL, "
+        "transform(sequence(0, size(_dflts) - 1), p -> struct("
+        "_dflts[p] AS dflt, "
+        "filter(transform(filter(_paths, pa -> pa.pos = p), "
+        "pa -> struct(pa.pen AS pen, "
+        "transform(pa.sids, s -> _smap[p * 100 + s]) AS ids)), "
+        "e -> forall(e.ids, i -> i IS NOT NULL)) AS entries)))"
+    ))
     return agg.select(
         "query_id", "assign_id", "apenalty", "qual_key", "name_ids",
         "addr_ids",
@@ -808,11 +916,14 @@ def score_hits(
                 F.lit(0.0),
             ).otherwise(F.lit(0.2) + F.lit(0.1) * (F.col("n_name") - 1))
             + F.when(F.col("addr_ranks").isNull(), F.lit(0.0)).otherwise(
+                # per phrase: cheapest ladder path whose full-word spans
+                # are all in the candidate's vector, else the default
                 F.expr(
-                    "aggregate(addr_ranks, 0.0D, (acc, x) -> acc + "
-                    "CASE WHEN x.id IS NOT NULL AND "
-                    "array_contains(nameaddress_vector, x.id) "
-                    "THEN 0.0D ELSE x.dflt END)"
+                    "aggregate(addr_ranks, 0.0D, (acc, ph) -> acc + "
+                    "coalesce(array_min(transform(filter(ph.entries, "
+                    "e -> forall(e.ids, i -> "
+                    "array_contains(nameaddress_vector, i))), "
+                    "e -> e.pen)), ph.dflt))"
                 )
             ),
         )

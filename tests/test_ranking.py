@@ -113,3 +113,67 @@ def test_unranked_candidates_unchanged(spark):
     q = spark.createDataFrame([("q1", "foo")], "query_id string, qtext string")
     res = geocode(spark, idx, q).collect()
     assert len(res) == 1 and res[0].place_id == 302
+
+
+def test_addr_ladder_multi_path(spark):
+    """get_addr_ranking's multi-path ladder (db_search_builder.py:314-366,
+    ported test_name_and_complex_address shapes): a two-word address
+    phrase ranks through EVERY full-word segmentation — a candidate
+    whose vector carries only W('foo') still beats the default-weight
+    candidate via the [W(foo), partial bar] path at 0.1."""
+    from nominatim_spark.pipeline.search import _plan_assignments
+
+    word = spark.createDataFrame(
+        [(1, "foo", "w", 10), (2, "bar", "w", 10), (3, "foo bar", "W", 2),
+         (6, "foo", "W", 3), (4, "vels", "w", 20), (5, "vels", "W", 1)],
+        "word_id long, word_token string, type string, name_count long",
+    )
+    q = spark.createDataFrame(
+        [(1, 0, "vels", "foo bar", 0.0, ["foo bar"],
+          [{"pos": 0, "sid": 0, "txt": "foo bar"},
+           {"pos": 0, "sid": 1, "txt": "foo"},
+           {"pos": 0, "sid": 2, "txt": "bar"}],
+          [{"pos": 0, "pen": 0.0, "sids": [0]},
+           {"pos": 0, "pen": 0.1, "sids": [1]},
+           {"pos": 0, "pen": 0.1, "sids": [2]},
+           {"pos": 0, "pen": 0.1, "sids": [1, 2]}],
+          [0.4])],
+        "query_id long, assign_id int, name_norm string, addr_norm string, "
+        "apenalty double, addr_phrases array<string>, "
+        "addr_spans array<struct<pos:int,sid:int,txt:string>>, "
+        "addr_paths array<struct<pos:int,pen:double,sids:array<int>>>, "
+        "addr_dflts array<double>",
+    )
+    plan = _plan_assignments(q, word).head()
+    ranks = plan.addr_ranks
+    assert len(ranks) == 1  # one ladder per address phrase
+    ph = ranks[0]
+    assert ph.dflt == pytest.approx(0.4)
+    ents = {tuple(e.ids): e.pen for e in ph.entries}
+    # whole-phrase W(3) at 0, W(foo)=6 alone at 0.1; paths needing the
+    # unindexed W('bar') were dropped
+    assert ents == {(3,): pytest.approx(0.0), (6,): pytest.approx(0.1)}
+
+
+def test_addr_ladder_end_to_end(spark):
+    """Candidate with W('foo') in its address vector (ladder path 0.1)
+    outranks the default-weight candidate (0.4) — even though neither
+    holds the whole-phrase token; higher importance on the loser proves
+    the penalty decided it."""
+    idx = _index(spark, [
+        _row(1, [4, 5], [1, 2, 6], 0.1),  # addr vector carries W('foo')=6
+        _row(2, [4, 5], [1, 2], 0.9),     # partials only -> default 0.4
+    ])
+    # W('foo') id 6 must exist in the dictionary for the ladder probe
+    idx = IndexTables(
+        placex=idx.placex, search_name=idx.search_name,
+        word=idx.word.unionByName(
+            idx.word.sparkSession.createDataFrame(
+                [(6, "foo", "W", 3, 0)],
+                "word_id long, word_token string, type string, "
+                "name_count long, addr_count long")),
+        name_postings=idx.name_postings, addr_postings=idx.addr_postings)
+    q = spark.createDataFrame([("q1", "vels, foo bar")],
+                              "query_id string, qtext string")
+    res = geocode(spark, idx, q).collect()
+    assert len(res) == 1 and res[0].place_id == 1
