@@ -959,7 +959,8 @@ def score_hits(
         )
     if postcodes is None and has_pc_name:
         # no postcode table: a name assignment that consumed a token as
-        # a postcode cannot verify it — flat 1.0 so readings that
+        # a postcode cannot verify it — charge the unknown-postcode
+        # penalty (2.0, same as the with-table miss) so readings that
         # actually match the token (housenumber, address word) outrank it
         cand = (
             cand.join(qpc.select("query_id", "assign_id",
@@ -968,7 +969,7 @@ def score_hits(
             .withColumn(
                 "apenalty",
                 F.col("apenalty")
-                + F.when(F.col("_haspc"), F.lit(1.0)).otherwise(F.lit(0.0)),
+                + F.when(F.col("_haspc"), F.lit(2.0)).otherwise(F.lit(0.0)),
             )
             .drop("_haspc")
         )

@@ -55,12 +55,18 @@ norm_names_udf = F.pandas_udf(
 )
 
 
-def _variants_arr(norms, lang=None):
+def _variants_arr(norms, lang=None, analyzers=None):
     from nominatim_spark.functions.variants import variants_for
 
     out: dict[str, None] = {}
-    for n in (norms or []):
-        for v in variants_for(n, lang if isinstance(lang, str) else None):
+    for i, n in enumerate(norms or []):
+        lg = lang if isinstance(lang, str) else None
+        if analyzers is not None and i < len(analyzers) \
+                and isinstance(analyzers[i], str):
+            # per-name analyzer (tag-analyzer-by-language) overrides the
+            # country default language
+            lg = analyzers[i]
+        for v in variants_for(n, lg):
             out.setdefault(v, None)
     return list(out)
 
@@ -72,6 +78,44 @@ variants_udf = F.pandas_udf(
     ),
     T.ArrayType(T.StringType()),
 )
+
+def _live_names(names):
+    # Arrow may deliver the struct array as a numpy array — no truthiness
+    if names is None:
+        return []
+    return [n for n in names if n is not None and n.get("name")]
+
+
+def _strs_of(names):
+    return [n["name"] for n in _live_names(names)]
+
+
+# PlaceName-struct inputs: the field extraction happens in Python —
+# a transform() in a Python UDF argument tree blocks ArrowEvalPython
+# extraction on the .rdd path (word-id assignment)
+# marked nondeterministic on purpose (they are in fact deterministic):
+# this stops Catalyst inlining the calls into downstream Filter
+# predicates, where PythonUDF extraction fails on the .rdd
+# (word-id zipWithIndex) path with an INTERNAL_ERROR in Spark 4.1
+norm_names_struct_udf = F.pandas_udf(
+    lambda names: names.map(lambda arr: _norm_arr(_strs_of(arr))),
+    T.ArrayType(T.StringType()),
+).asNondeterministic()
+
+
+def _variants_of_structs(names, lang):
+    live = _live_names(names)
+    return _variants_arr(_norm_arr([n["name"] for n in live]), lang,
+                         [n.get("analyzer") for n in live])
+
+
+variants_struct_udf = F.pandas_udf(
+    lambda names, lang: pd.Series(
+        [_variants_of_structs(n, lg) for n, lg in zip(names, lang)],
+        index=names.index,
+    ),
+    T.ArrayType(T.StringType()),
+).asNondeterministic()
 
 
 def _canon_arr(arr):
@@ -88,15 +132,17 @@ canon_hnrs_udf = F.pandas_udf(
 )
 
 
-def tokenize_places(placex: DataFrame) -> DataFrame:
+def tokenize_places(placex: DataFrame,
+                    sanitizer_chain: list | None = None) -> DataFrame:
     """placex -> placex + sanitizer/normalization/variant columns.
 
-    Sanitizer chain (§2.10: split-name-list, strip-brace-terms,
-    clean-names, clean-housenumbers) -> _names/_hnrs arrays, then
+    Sanitizer chain (§2.10) -> _names (PlaceName structs) / _hnrs, then
     normalization and variant expansion (abbreviation trie + mutations,
     generic.py:58-143) — the index carries every spelling variant so
-    single-form queries ("Birch St") match.  Row-local — safe to run on
-    any subset (the incremental path tokenizes only the diff)."""
+    single-form queries ("Birch St") match.  A name's language analyzer
+    (tag-analyzer-by-language, or the country default) selects its
+    per-language variant table.  Row-local — safe to run on any subset
+    (the incremental path tokenizes only the diff)."""
     from nominatim_spark.functions.variants import COUNTRY_LANG
     from nominatim_spark.pipeline.sanitizers import apply_sanitizers
 
@@ -108,10 +154,10 @@ def tokenize_places(placex: DataFrame) -> DataFrame:
         lang_col = lang_map[F.col("country_code")]
     else:
         lang_col = F.lit(None).cast("string")
-    return apply_sanitizers(placex).withColumn(
-        "norm_names", norm_names_udf(F.col("_names"))
+    return apply_sanitizers(placex, chain=sanitizer_chain).withColumn(
+        "norm_names", norm_names_struct_udf(F.col("_names"))
     ).withColumn(
-        "var_names", variants_udf(F.col("norm_names"), lang_col)
+        "var_names", variants_struct_udf(F.col("_names"), lang_col)
     ).withColumn(
         "norm_name", F.expr("try_element_at(norm_names, 1)")
     ).withColumn(

@@ -80,7 +80,10 @@ def test_sanitizers_chain(spark):
         pdf, "name map<string,string>, address map<string,string>"
     )
     out = apply_sanitizers(df).select("_names", "_hnrs").collect()
-    assert sorted(out[0]._names) == ["Alpha", "Beta", "Beta (old)"]
+    assert sorted(n.name for n in out[0]._names) == [
+        "Alpha", "Beta", "Beta (old)"]
+    assert all(n.kind == "name" and n.suffix is None
+               for n in out[0]._names)
     assert sorted(out[0]._hnrs) == ["2", "4", "6"]
     assert out[1]._names == [] and out[1]._hnrs == []
     assert out[2]._hnrs == ["8"]
@@ -183,7 +186,7 @@ def test_delete_names_sanitizer(spark):
     chain = ["split-name-list",
              {"step": "delete-names", "name": "Drop .*"}]
     out = apply_sanitizers(df, chain).head()
-    assert out._names == ["Keep Me"]
+    assert [n.name for n in out._names] == ["Keep Me"]
 
 
 @pytest.fixture(scope="module")
