@@ -129,15 +129,136 @@ _FOLD_TABLE = {
 }
 
 
+# Chinese place-name characters -> Mandarin pinyin, with the traditional
+# form where it differs — the ':: Hans-Hant' normalization rule +
+# ':: Latin' Han transliteration of the reference's ICU chain
+# (settings/icu_tokenizer.yaml:3,19-21) re-expressed as a pinned compact
+# table of the characters that actually appear in Chinese geography
+# (standard public Hanyu-Pinyin readings; both index and query sides
+# share the table, so the engine's dictionary round-trips).  The
+# reference folds Hans->Hant then romanizes; the engine folds Hant->Hans
+# then romanizes — equivalent for matching.
+_HAN_PINYIN: list[tuple[str, str, str]] = [
+    # (simplified, pinyin, traditional-if-different)
+    ("北", "bei", ""), ("京", "jing", ""), ("上", "shang", ""),
+    ("海", "hai", ""), ("天", "tian", ""), ("津", "jin", ""),
+    ("重", "chong", ""), ("庆", "qing", "慶"), ("广", "guang", "廣"),
+    ("州", "zhou", ""), ("深", "shen", ""), ("圳", "zhen", ""),
+    ("香", "xiang", ""), ("港", "gang", ""), ("澳", "ao", ""),
+    ("台", "tai", "臺"), ("湾", "wan", "灣"), ("西", "xi", ""),
+    ("安", "an", ""), ("南", "nan", ""), ("东", "dong", "東"),
+    ("武", "wu", ""), ("汉", "han", "漢"), ("成", "cheng", ""),
+    ("都", "du", ""), ("杭", "hang", ""), ("苏", "su", "蘇"),
+    ("宁", "ning", "寧"), ("郑", "zheng", "鄭"), ("沈", "shen", "瀋"),
+    ("阳", "yang", "陽"), ("青", "qing", ""), ("岛", "dao", "島"),
+    ("大", "da", ""), ("连", "lian", "連"), ("厦", "xia", "廈"),
+    ("门", "men", "門"), ("福", "fu", ""), ("昆", "kun", ""),
+    ("明", "ming", ""), ("贵", "gui", "貴"), ("兰", "lan", "蘭"),
+    ("川", "chuan", ""), ("河", "he", ""), ("湖", "hu", ""),
+    ("山", "shan", ""), ("江", "jiang", ""), ("省", "sheng", ""),
+    ("市", "shi", ""), ("区", "qu", "區"), ("县", "xian", "縣"),
+    ("镇", "zhen", "鎮"), ("乡", "xiang", "鄉"), ("村", "cun", ""),
+    ("街", "jie", ""), ("道", "dao", ""), ("路", "lu", ""),
+    ("巷", "xiang", ""), ("桥", "qiao", "橋"), ("站", "zhan", ""),
+    ("口", "kou", ""), ("新", "xin", ""), ("旧", "jiu", "舊"),
+    ("老", "lao", ""), ("中", "zhong", ""), ("国", "guo", "國"),
+    ("人", "ren", ""), ("民", "min", ""), ("公", "gong", ""),
+    ("园", "yuan", "園"), ("场", "chang", "場"), ("学", "xue", "學"),
+    ("校", "xiao", ""), ("医", "yi", "醫"), ("院", "yuan", ""),
+    ("银", "yin", "銀"), ("行", "hang", ""), ("店", "dian", ""),
+    ("饭", "fan", "飯"), ("酒", "jiu", ""), ("楼", "lou", "樓"),
+    ("寺", "si", ""), ("庙", "miao", "廟"), ("宫", "gong", "宮"),
+    ("塔", "ta", ""), ("城", "cheng", ""), ("堡", "bao", ""),
+    ("林", "lin", ""), ("森", "sen", ""), ("花", "hua", ""),
+    ("石", "shi", ""), ("金", "jin", ""), ("木", "mu", ""),
+    ("水", "shui", ""), ("火", "huo", ""), ("土", "tu", ""),
+    ("日", "ri", ""), ("月", "yue", ""), ("星", "xing", ""),
+    ("云", "yun", "雲"), ("风", "feng", "風"), ("雨", "yu", ""),
+    ("雪", "xue", ""), ("春", "chun", ""), ("秋", "qiu", ""),
+    ("冬", "dong", ""), ("夏", "xia", ""),
+    ("一", "yi", ""), ("二", "er", ""), ("三", "san", ""),
+    ("四", "si", ""), ("五", "wu", ""), ("六", "liu", ""),
+    ("七", "qi", ""), ("八", "ba", ""), ("九", "jiu", ""),
+    ("十", "shi", ""), ("百", "bai", ""), ("千", "qian", ""),
+    ("万", "wan", "萬"),
+    ("龙", "long", "龍"), ("凤", "feng", "鳳"), ("马", "ma", "馬"),
+    ("牛", "niu", ""), ("虎", "hu", ""), ("鱼", "yu", "魚"),
+    ("鸟", "niao", "鳥"), ("长", "chang", "長"), ("高", "gao", ""),
+    ("平", "ping", ""), ("和", "he", ""), ("泰", "tai", ""),
+    ("康", "kang", ""), ("兴", "xing", "興"), ("隆", "long", ""),
+    ("盛", "sheng", ""), ("昌", "chang", ""), ("荣", "rong", "榮"),
+    ("华", "hua", "華"), ("富", "fu", ""), ("吉", "ji", ""),
+    ("祥", "xiang", ""), ("美", "mei", ""), ("丽", "li", "麗"),
+    ("白", "bai", ""), ("黑", "hei", ""), ("红", "hong", "紅"),
+    ("黄", "huang", "黃"), ("绿", "lu", "綠"), ("蓝", "lan", "藍"),
+    ("清", "qing", ""), ("观", "guan", "觀"), ("阁", "ge", "閣"),
+    ("亭", "ting", ""), ("池", "chi", ""), ("泉", "quan", ""),
+    ("井", "jing", ""), ("谷", "gu", ""), ("岭", "ling", "嶺"),
+    ("峰", "feng", ""), ("湾", "wan", "灣"), ("滩", "tan", "灘"),
+    ("洲", "zhou", ""), ("岸", "an", ""), ("坡", "po", ""),
+    ("田", "tian", ""), ("塘", "tang", ""), ("坝", "ba", "壩"),
+    ("庄", "zhuang", "莊"), ("屯", "tun", ""), ("寨", "zhai", ""),
+    ("营", "ying", "營"), ("集", "ji", ""), ("铺", "pu", "鋪"),
+    ("头", "tou", "頭"), ("尾", "wei", ""), ("环", "huan", "環"),
+    ("济", "ji", "濟"), ("丰", "feng", "豐"), ("顺", "shun", "順"),
+    ("德", "de", ""), ("善", "shan", ""), ("义", "yi", "義"),
+    ("礼", "li", "禮"), ("信", "xin", ""), ("文", "wen", ""),
+    ("化", "hua", ""), ("体", "ti", "體"), ("育", "yu", ""),
+    ("馆", "guan", "館"), ("书", "shu", "書"), ("图", "tu", "圖"),
+    ("机", "ji", "機"), ("飞", "fei", "飛"), ("车", "che", "車"),
+    ("电", "dian", "電"), ("铁", "tie", "鐵"), ("号", "hao", "號"),
+]
+
+_EXT_FOLD: dict[str, str] | None = None
+
+
+def _combined_fold() -> dict[str, str]:
+    """Pinned fold table + the full extended unicode-to-ascii tail
+    (4,941 entries loaded from the package data file — mapping data from
+    the reference's public settings/icu-rules table) + the Han pinyin
+    table (traditional forms fold to the same romanization).  Pinned
+    entries win on overlap."""
+    global _EXT_FOLD
+    if _EXT_FOLD is None:
+        import os
+
+        table: dict[str, str] = {}
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", "translit_extended.tsv")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.startswith("#"):
+                        continue
+                    ch, _, out = line.rstrip("\n").partition("\t")
+                    if ch:
+                        table[ch] = out
+        except OSError:
+            pass
+        for simp, py, trad in _HAN_PINYIN:
+            table[simp] = f" {py} "
+            if trad:
+                table[trad] = f" {py} "
+        table.update(_FOLD_TABLE)
+        _EXT_FOLD = table
+    return _EXT_FOLD
+
+
+def has_han(s: str) -> bool:
+    return any("一" <= ch <= "鿿" for ch in (s or ""))
+
+
 def transliterate(s: str) -> str:
     """Transliteration stage (icu_tokenizer.yaml:19-28 semantics)."""
     if s is None:
         return ""
+    fold = _combined_fold()
     s = s.replace("-", " ").replace(":", " ")
     s = unicodedata.normalize("NFKD", s)
     s = "".join(ch for ch in s if not unicodedata.combining(ch))
     s = s.lower().replace("ß", "ss")
-    s = "".join(_FOLD_TABLE.get(ch, ch) for ch in s)
+    s = "".join(fold.get(ch, ch) for ch in s)
+    s = s.lower()
     s = _TRANS_DROP_RE.sub("", s)
     s = _MULTISPACE_RE.sub(" ", s)
     return s.strip()

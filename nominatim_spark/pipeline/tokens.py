@@ -104,9 +104,21 @@ norm_names_struct_udf = F.pandas_udf(
 
 
 def _variants_of_structs(names, lang):
+    from nominatim_spark.functions.text import has_han
+
     live = _live_names(names)
-    return _variants_arr(_norm_arr([n["name"] for n in live]), lang,
-                         [n.get("analyzer") for n in live])
+    out = _variants_arr(_norm_arr([n["name"] for n in live]), lang,
+                        [n.get("analyzer") for n in live])
+    # Han names romanize to space-separated pinyin ('北京' -> 'bei
+    # jing'); also index the JOINED form so latin-written queries
+    # ('Beijing') match without a name:en tag
+    for n in live:
+        if has_han(n["name"]):
+            norm = norm_translit(n["name"])
+            joined = norm.replace(" ", "")
+            if joined and joined not in out:
+                out.append(joined)
+    return out
 
 
 variants_struct_udf = F.pandas_udf(

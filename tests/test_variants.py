@@ -247,3 +247,42 @@ def test_duplicate_rules_across_tables_still_reverse():
     # genuinely ambiguous targets stay suppressed ('st': street vs saint)
     assert "birch street" not in set(variants_for("birch st", "en"))
     assert "birch saint" not in set(variants_for("birch st", "en"))
+
+
+def test_cjk_name_roundtrip(spark, tmp_path):
+    """Han names romanize to pinyin on BOTH index and query sides
+    (Hans↔Hant folded to one script), and the joined form makes
+    latin-written queries match: 北京 finds Beijing and vice versa
+    (the reference's ':: Hans-Hant' + ':: Latin' ICU rules,
+    settings/icu_tokenizer.yaml:3,19-21)."""
+    import pandas as pd
+
+    from nominatim_spark.functions.text import norm_translit
+    from nominatim_spark.pipeline.placex import build_index
+
+    assert norm_translit("北京") == "bei jing"
+    assert norm_translit("東京") == norm_translit("东京") == "dong jing"
+
+    place = synth.place_df(spark, n_cities=2, n_streets=2, n_houses=2,
+                           n_pois=1)
+    cx, cy = synth.city_center(0)
+    extra = [{
+        "osm_type": "N", "osm_id": 950000, "class": "amenity",
+        "type": "restaurant", "admin_level": None,
+        "name": {"name": "北京"},
+        "address": {"street": synth.street_name(0, 0)}, "extratags": {},
+        "geometry": synth.point_wkb(cx - 0.01, cy - 0.097),
+        "categories": None,
+    }]
+    place = place.unionByName(spark.createDataFrame(
+        pd.DataFrame(extra), schema=synth.PLACE_SCHEMA))
+    idx = build_index(spark, place, ckpt_root=str(tmp_path / "cjk"))
+    q = spark.createDataFrame(
+        [("c1", "北京"), ("c2", "Beijing"),
+         ("c3", f"北京, {synth.city_name(0)}")],
+        "query_id string, qtext string",
+    )
+    res = {r.query_id: r for r in geocode(spark, idx, q).collect()}
+    assert res["c1"].osm_id == 950000
+    assert res["c2"].osm_id == 950000
+    assert res["c3"].osm_id == 950000
