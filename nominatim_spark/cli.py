@@ -90,6 +90,15 @@ def _print_rows(df, fmt: str, idx=None) -> None:
         df = df.withColumn("display_name", F.coalesce(*parts)).drop("_nm")
     if "importance" not in df.columns:
         df = df.withColumn("importance", F.lit(0.0))
+    if fmt == "geocodejson":
+        from nominatim_spark.functions.format import (
+            geocodejson_envelope, to_geocodejson_col)
+
+        feats = [r.result_geocodejson
+                 for r in to_geocodejson_col(df)
+                 .select("result_geocodejson").collect()]
+        print(geocodejson_envelope(feats))
+        return
     out_col = {"json": "result_json", "geojson": "result_geojson"}[fmt]
     conv = {"json": to_json_col, "geojson": to_geojson_col}[fmt]
     for row in conv(df).select(out_col).collect():
@@ -195,7 +204,8 @@ def build_parser() -> argparse.ArgumentParser:
         s = sub.add_parser(name, help="forward geocode")
         s.add_argument("query", nargs="+")
         s.add_argument("--index", required=True)
-        s.add_argument("--format", choices=("json", "geojson"),
+        s.add_argument("--format",
+                       choices=("json", "geojson", "geocodejson"),
                        default="json")
         s.set_defaults(fn=fn)
 
@@ -203,13 +213,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("lat", type=float)
     r.add_argument("lon", type=float)
     r.add_argument("--index", required=True)
-    r.add_argument("--format", choices=("json", "geojson"), default="json")
+    r.add_argument("--format", choices=("json", "geojson", "geocodejson"),
+                   default="json")
     r.set_defaults(fn=cmd_reverse)
 
     lk = sub.add_parser("lookup", help="resolve osm refs / place ids")
     lk.add_argument("refs", nargs="+")
     lk.add_argument("--index", required=True)
-    lk.add_argument("--format", choices=("json", "geojson"), default="json")
+    lk.add_argument("--format", choices=("json", "geojson", "geocodejson"),
+                    default="json")
     lk.set_defaults(fn=cmd_lookup)
 
     dt = sub.add_parser("details", help="place details with address chain")

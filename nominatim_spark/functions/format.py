@@ -74,6 +74,65 @@ def to_geojson_col(df: DataFrame, out: str = "result_geojson") -> DataFrame:
     return df.withColumn(out, F.to_json(feature))
 
 
+# rank_address -> geocodejson 'type' label (format_json.py:314-322)
+_GEOCODEJSON_RANKS = [
+    (4, "country"), (9, "state"), (12, "county"), (16, "city"),
+    (21, "district"), (24, "locality"), (27, "street"), (28, "house"),
+]
+
+
+def _geocodejson_rank_label() -> Column:
+    # clamp 3..28 (format_json.py:279); 3 -> 'locality'
+    r = F.greatest(F.lit(3), F.least(F.lit(28), F.col("rank_address")))
+    expr = F.when(r == 3, "locality")
+    for hi, label in _GEOCODEJSON_RANKS:
+        expr = expr.when(r <= hi, label)
+    return expr.otherwise("house")
+
+
+def to_geocodejson_col(df: DataFrame,
+                       out: str = "result_geocodejson") -> DataFrame:
+    """geocodejson Feature per result (format_json.py:244-311
+    format_base_geocodejson): properties.geocoding carries place_id, the
+    osm ref, osm_key/osm_value, the rank-derived 'type' label, and the
+    display label; geometry = centroid Point.  Wrap the collected rows
+    with :func:`geocodejson_envelope` for the FeatureCollection."""
+    geocoding = F.struct(
+        F.col("place_id"),
+        F.concat(F.lower(F.col("osm_type")),
+                 F.col("osm_id").cast("string")).alias("osm_id"),
+        _osm_type_long().alias("osm_type"),
+        F.col("class").alias("osm_key"),
+        F.col("type").alias("osm_value"),
+        _geocodejson_rank_label().alias("type"),
+        F.col("display_name").alias("label"),
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(geocoding.alias("geocoding")).alias("properties"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+    )
+    return df.withColumn(out, F.to_json(feature))
+
+
+def geocodejson_envelope(features: list[str], query: str | None = None
+                         ) -> str:
+    """FeatureCollection envelope around serialized feature rows (the
+    geocoding header block, format_json.py:253-261)."""
+    import json
+
+    head = {"version": "0.1.0", "licence": "ODbL",
+            "attribution": LICENCE}
+    if query is not None:
+        head["query"] = query
+    return ('{"type":"FeatureCollection","geocoding":'
+            + json.dumps(head)
+            + ',"features":[' + ",".join(features) + "]}")
+
+
 def to_xml_col(df: DataFrame, out: str = "result_xml") -> DataFrame:
     """The reference's <place> XML element, built by concat (JVM-side)."""
     esc = lambda c: F.regexp_replace(  # noqa: E731

@@ -132,3 +132,22 @@ def test_cli_place_import_no_fabricated_osmline(spark, index, tmp_path,
     doc = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert rc == 0 and doc["osm_type"] in ("node", "way")
     assert doc.get("class") != "place" or doc.get("type") != "houses"
+
+
+def test_geocodejson_format(spark, index, capsys):
+    """geocodejson envelope + per-feature geocoding properties
+    (format_json.py:244-322 shapes)."""
+    from nominatim_spark.cli import main
+
+    _, _, ckpt = index
+    rc = main(["search", f"Birch Street, {synth.city_name(0)}",
+               "--index", ckpt, "--format", "geocodejson"])
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and doc["type"] == "FeatureCollection"
+    assert doc["geocoding"]["version"] == "0.1.0"
+    feat = doc["features"][0]
+    g = feat["properties"]["geocoding"]
+    assert g["osm_key"] == "highway" and g["osm_value"] == "residential"
+    assert g["type"] == "street" and g["osm_type"] == "way"
+    assert g["label"] == "Birch Street"
+    assert feat["geometry"]["type"] == "Point"
