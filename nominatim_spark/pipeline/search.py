@@ -376,6 +376,11 @@ def _addr_ladder(aphr: list[str]):
 
 @functools.lru_cache(maxsize=65536)
 def _addr_ladder_cached(aphr: tuple):
+    if all(len(p.split()) <= 1 for p in aphr):
+        # all-trivial ladder (the overwhelmingly common shape): nothing
+        # ships — the plan stage derives the whole-phrase spans from
+        # addr_phrases and the single zero-penalty entry per phrase
+        return None, None, None
     spans: list[dict] = []
     paths: list[dict] = []
     dflts: list[float] = []
@@ -530,7 +535,7 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
     )
     # the stats dictionary is bounded by the batch's distinct tokens
     # BEFORE the broadcast — never the whole partial vocabulary (same
-    # batch-bounding as _batch_word_dict)
+    # batch-bounding + small-table shortcut as _batch_word_dict)
     w = word.filter(F.col("type") == "w").select(
         F.col("word_token").alias("_tok"),
         F.when(
@@ -538,9 +543,11 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
             F.col("name_count")
             / (F.col("name_count") + F.col("addr_count")),
         ).otherwise(F.lit(0.5)).alias("r"),
-    ).join(
-        F.broadcast(toks.select("_tok").distinct()), "_tok", "left_semi",
     )
+    if _word_count(word) > DIRECT_DICT_MAX:
+        w = w.join(
+            F.broadcast(toks.select("_tok").distinct()), "_tok", "left_semi",
+        )
     rt = toks.join(F.broadcast(w), "_tok", "left").withColumn(
         "r", F.coalesce("r", F.lit(0.5))
     )
@@ -586,6 +593,23 @@ def _fold_direction_penalty(q: DataFrame, word: DataFrame,
 W_LOOKUP_MIN_COUNT = 30_000
 
 
+# Above this many word rows the dictionary must be batch-bounded before
+# any broadcast; below it a direct broadcast is cheaper (the semi-join's
+# prefilter pass costs more than shipping the whole small table —
+# measured ~2.8 s/batch on the flagship for a 20k-row dictionary).
+DIRECT_DICT_MAX = 500_000
+
+
+def _word_count(word: DataFrame) -> int:
+    """Row count of the word table, memoized on the DataFrame object —
+    one metadata-cheap job per table instance, reused across batches."""
+    n = getattr(word, "_nspark_word_count", None)
+    if n is None:
+        n = word.count()
+        word._nspark_word_count = n
+    return n
+
+
 def _batch_word_dict(word: DataFrame, toks: DataFrame, *,
                      has_stats: bool) -> DataFrame:
     """The batch-bounded token dictionary: BOTH word-table slices — the
@@ -599,7 +623,9 @@ def _batch_word_dict(word: DataFrame, toks: DataFrame, *,
     analog: the query batch contributes a bounded distinct-token set (a
     few tokens per query), that set broadcasts to prefilter the word
     table, and only the surviving dictionary rows (≤ batch tokens) are
-    broadcast into the explode join."""
+    broadcast into the explode join.  Dictionaries under DIRECT_DICT_MAX
+    rows skip the prefilter — shipping them whole is cheaper than the
+    extra pass."""
     w_part = word.filter(F.col("type") == "w").select(
         F.col("word_token").alias("_tok"), F.lit("w").alias("_ty"),
         F.col("word_id").alias("_wid"),
@@ -611,7 +637,10 @@ def _batch_word_dict(word: DataFrame, toks: DataFrame, *,
         F.col("word_id").alias("_wid"),
         F.lit(None).cast("long").alias("_wcount"),
     )
-    return w_part.unionByName(w_full).join(
+    wdict = w_part.unionByName(w_full)
+    if _word_count(word) <= DIRECT_DICT_MAX:
+        return wdict
+    return wdict.join(
         F.broadcast(toks.select("_tok", "_ty").distinct()),
         ["_tok", "_ty"], "left_semi",
     )
@@ -688,17 +717,30 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     ]
     if has_spans:
         # one W probe per ladder SPAN (sub-span full-word readings of
-        # each address phrase — get_addr_ranking's path vocabulary)
-        parts.append(F.transform(
-            F.col("addr_spans"),
-            lambda s: F.struct(
-                s["txt"].alias("_tok"), F.lit("W").alias("_ty"),
-                F.lit("p").alias("_role"), s["pos"].alias("_pos"),
-                s["sid"].alias("_plen"),
+        # each address phrase — get_addr_ranking's path vocabulary);
+        # trivial ladders (addr_spans null) probe the whole phrases
+        parts.append(F.coalesce(
+            F.transform(
+                F.col("addr_spans"),
+                lambda s: F.struct(
+                    s["txt"].alias("_tok"), F.lit("W").alias("_ty"),
+                    F.lit("p").alias("_role"), s["pos"].alias("_pos"),
+                    s["sid"].alias("_plen"),
+                ),
+            ),
+            F.transform(
+                F.col("addr_phrases"),
+                lambda p, i: F.struct(
+                    p.alias("_tok"), F.lit("W").alias("_ty"),
+                    F.lit("p").alias("_role"), i.alias("_pos"),
+                    F.lit(0).alias("_plen"),
+                ),
             ),
         ))
     qual = (F.col("qual_key") if "qual_key" in q.columns
             else F.lit(None).cast("string")).alias("qual_key")
+    pcflag = ((F.col("postcode").isNotNull() & (F.col("name_norm") != ""))
+              if "postcode" in q.columns else F.lit(False)).alias("_pcf")
     paths = (F.col("addr_paths") if has_spans else F.expr("array()").cast(
         "array<struct<pos:int,pen:double,sids:array<int>>>"))
     dflts = (F.col("addr_dflts") if has_spans
@@ -708,11 +750,11 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     # would duplicate them through the explode and shuffle N copies into
     # the groupBy (measured ~20% of the flagship parse-plan wall)
     toks = q.select(
-        "query_id", "assign_id", "apenalty", qual,
+        "query_id", "assign_id", "apenalty", qual, pcflag,
         F.posexplode(F.concat(*parts)).alias("_ti", "_t"),
         paths.alias("_ap"), dflts.alias("_ad"),
     ).select(
-        "query_id", "assign_id", "apenalty", "qual_key",
+        "query_id", "assign_id", "apenalty", "qual_key", "_pcf",
         F.when(F.col("_ti") == 0, F.col("_ap")).alias("addr_paths"),
         F.when(F.col("_ti") == 0, F.col("_ad")).alias("addr_dflts"),
         "_t.*",
@@ -724,6 +766,7 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     agg = toks.groupBy("query_id", "assign_id").agg(
         F.first("apenalty").alias("apenalty"),
         F.first("qual_key").alias("qual_key"),
+        F.first("_pcf").alias("pc_flagged"),
         F.sum(F.when(F.col("_role") == "n", 1).otherwise(0)).alias("_n_name"),
         F.sum(F.when((F.col("_role") == "n") & F.col("_wid").isNotNull(), 1)
               .otherwise(0)).alias("_n_name_hit"),
@@ -766,17 +809,26 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         "map_from_entries(transform(_span_hits, "
         "h -> struct(h.pos * 100 + h.sid, h.wid)))"
     )).withColumn("addr_ranks", F.expr(
-        "IF(size(_dflts) = 0, NULL, "
+        "CASE WHEN _dflts IS NOT NULL AND size(_dflts) > 0 THEN "
         "transform(sequence(0, size(_dflts) - 1), p -> struct("
         "_dflts[p] AS dflt, "
         "filter(transform(filter(_paths, pa -> pa.pos = p), "
         "pa -> struct(pa.pen AS pen, "
         "transform(pa.sids, s -> _smap[p * 100 + s]) AS ids)), "
-        "e -> forall(e.ids, i -> i IS NOT NULL)) AS entries)))"
+        "e -> forall(e.ids, i -> i IS NOT NULL)) AS entries)) "
+        # trivial ladder: one whole-phrase entry per span hit
+        "WHEN size(_span_hits) > 0 THEN "
+        "transform(array_sort(_span_hits), h -> struct("
+        "CAST(0.3 AS DOUBLE) AS dflt, "
+        "IF(h.wid IS NOT NULL, "
+        "array(struct(CAST(0.0 AS DOUBLE) AS pen, array(h.wid) AS ids)), "
+        "CAST(array() AS array<struct<pen:double,ids:array<bigint>>>)"
+        ") AS entries)) "
+        "ELSE NULL END"
     ))
     return agg.select(
-        "query_id", "assign_id", "apenalty", "qual_key", "name_ids",
-        "addr_ids",
+        "query_id", "assign_id", "apenalty", "qual_key", "pc_flagged",
+        "name_ids", "addr_ids",
         F.when(
             F.col("_w_full_id").isNotNull()
             & (F.col("_drive_count") >= W_LOOKUP_MIN_COUNT),
@@ -847,10 +899,11 @@ def score_hits(
                & (F.col("name_norm") != "")).cast("int")).alias("near"),
         F.max((F.col("near_key").isNotNull()
                & (F.col("name_norm") == "")).cast("int")).alias("poi"),
+        F.max(F.col("qual_key").isNotNull().cast("int")).alias("qual"),
     ).head()
-    has_split, has_pc_name, has_near, has_poi = (
+    has_split, has_pc_name, has_near, has_poi, has_qual = (
         bool(_fl["split"]), bool(_fl["pc_name"]),
-        bool(_fl["near"]), bool(_fl["poi"]))
+        bool(_fl["near"]), bool(_fl["poi"]), bool(_fl["qual"]))
     q = _fold_direction_penalty(parsed, idx.word,
                                 enabled=has_split).persist()
 
@@ -887,12 +940,6 @@ def score_hits(
     cand = (
         plan.join(drive_posts, "drive_id")
         .join(sn, "place_id")
-        # qualifier restrict (place_search.py qualifier filter): a
-        # category-word reading keeps only candidates of that class/type
-        .filter(
-            F.col("qual_key").isNull()
-            | (F.concat_ws("|", "class", "type") == F.col("qual_key"))
-        )
         .filter(F.expr(
             "forall(name_ids, i -> array_contains(name_vector, i))"
         ))
@@ -902,6 +949,17 @@ def score_hits(
                 "forall(addr_ids, i -> array_contains(nameaddress_vector, i))"
             )
         )
+    )
+    if has_qual:
+        # qualifier restrict (place_search.py qualifier filter): a
+        # category-word reading keeps only candidates of that class/type
+        # — skipped entirely when no assignment carries one (probe above)
+        cand = cand.filter(
+            F.col("qual_key").isNull()
+            | (F.concat_ws("|", "class", "type") == F.col("qual_key"))
+        )
+    cand = (
+        cand
         # weigh_search (ranking.sql:327-345): fold the per-assignment
         # FieldRanking penalties — 0 when the candidate's vector holds the
         # query's full-word token, the ranking default otherwise.  Folded
@@ -917,13 +975,16 @@ def score_hits(
             ).otherwise(F.lit(0.2) + F.lit(0.1) * (F.col("n_name") - 1))
             + F.when(F.col("addr_ranks").isNull(), F.lit(0.0)).otherwise(
                 # per phrase: cheapest ladder path whose full-word spans
-                # are all in the candidate's vector, else the default
+                # are all in the candidate's vector, else the default —
+                # one allocation-free pass per phrase (this fold runs per
+                # CANDIDATE row; intermediate arrays here measured ~3 s
+                # on the 100k-page flagship)
                 F.expr(
                     "aggregate(addr_ranks, 0.0D, (acc, ph) -> acc + "
-                    "coalesce(array_min(transform(filter(ph.entries, "
-                    "e -> forall(e.ids, i -> "
-                    "array_contains(nameaddress_vector, i))), "
-                    "e -> e.pen)), ph.dflt))"
+                    "aggregate(ph.entries, ph.dflt, (best, e) -> "
+                    "IF(e.pen < best AND forall(e.ids, i -> "
+                    "array_contains(nameaddress_vector, i)), "
+                    "e.pen, best)))"
                 )
             ),
         )
@@ -961,17 +1022,12 @@ def score_hits(
         # no postcode table: a name assignment that consumed a token as
         # a postcode cannot verify it — charge the unknown-postcode
         # penalty (2.0, same as the with-table miss) so readings that
-        # actually match the token (housenumber, address word) outrank it
-        cand = (
-            cand.join(qpc.select("query_id", "assign_id",
-                                 F.lit(True).alias("_haspc")),
-                      ["query_id", "assign_id"], "left")
-            .withColumn(
-                "apenalty",
-                F.col("apenalty")
-                + F.when(F.col("_haspc"), F.lit(2.0)).otherwise(F.lit(0.0)),
-            )
-            .drop("_haspc")
+        # actually match the token (housenumber, address word) outrank
+        # it.  The flag rode through the plan agg — no join here.
+        cand = cand.withColumn(
+            "apenalty",
+            F.col("apenalty")
+            + F.when(F.col("pc_flagged"), F.lit(2.0)).otherwise(F.lit(0.0)),
         )
     if postcodes is not None and has_pc_name:
         pc_cents = (
