@@ -7,14 +7,17 @@ a batch of changed ``place`` rows invalidates the places it can affect,
 the affected subset is re-run through the SAME build stages, and the
 result is merged into the standing index tables.
 
-Scope (documented): changes at street/POI/house level (rank_search >= 26)
-re-index incrementally — a street rename propagates to its children
-because they sit inside the padded invalidation cover.  Anything below
-that rank (admin boundaries, place areas/nodes) changes the containment
-hierarchy or the address vocabulary of places far outside any local
-cover, so those updates raise and the caller falls back to the full
-build (the reference similarly cascades place_force_update over the
-whole affected partition, utils.sql:541-587).
+Scope (documented): changes at street/POI/house level (rank_search >=
+26) re-index incrementally — a street rename propagates to its children
+because they sit inside the padded invalidation cover.  Place nodes and
+non-boundary areas of rank 16..25 (suburbs, villages, localities) are
+incremental too: their invalidation cover is the rank-dependent
+place-node fuzzy radius (the reference's update_place_diameter cascade,
+utils.sql:541-587), so every rank>=26 place whose nameaddress vector
+carries the node's name re-tokenizes.  Admin boundaries, rank < 16, and
+LINKED label nodes still raise (they change the containment hierarchy /
+linking, which only the full build recomputes); callers fall back to
+the full build.
 
 Scale notes: every step is a cell-key join against the update batch's
 cover cells, and re-parenting runs with the dirty set on the POINT side
@@ -89,13 +92,47 @@ def apply_place_updates(
     # ---- stage the update rows through base attrs + country + rank
     fresh = assign_country(base_attributes(updates))
     fresh = fresh.join(compute_place_rank(fresh), "place_id")
-    # scope guard: a row below rank 26 (place node, area) would change the
-    # address vocabulary of places far outside any local invalidation
-    # cover — cascade to a full rebuild instead of silently diverging
-    if not fresh.filter(F.col("rank_search") < 26).isEmpty():
+    # scope guards: rank < 16 changes the containment hierarchy of a
+    # whole partition; a LINKED label node changes linking — both
+    # cascade to a full rebuild instead of silently diverging
+    if not fresh.filter(F.col("rank_search") < 16).isEmpty():
         raise ValueError(
-            "update below rank_search 26: outside the incremental scope — "
+            "update below rank_search 16: outside the incremental scope — "
             "run the full build (see module docstring)"
+        )
+    # a place NODE that matches a standing boundary by name or wikidata
+    # is (or would become) that boundary's linked label node — linking
+    # only the full build recomputes (find_linked_place lanes).  Two
+    # scalable equi-semijoins, no cross product.
+    nodes26 = fresh.filter(
+        (F.col("rank_search") < 26) & (F.col("osm_type") == "N")
+    ).select(
+        F.col("name").getItem("name").alias("_n"),
+        (F.col("extratags").getItem("wikidata")
+         if "extratags" in fresh.columns
+         else F.lit(None).cast("string")).alias("_w"),
+    )
+    bset = placex.filter(F.col("class") == "boundary").select(
+        F.col("name").getItem("name").alias("_n"),
+        (F.col("extratags").getItem("wikidata")
+         if "extratags" in placex.columns
+         else F.lit(None).cast("string")).alias("_w"),
+    )
+    linked_hit = (
+        nodes26.filter(F.col("_n").isNotNull())
+        .join(bset.filter(F.col("_n").isNotNull()).select("_n"),
+              "_n", "left_semi")
+        .unionByName(
+            nodes26.filter(F.col("_w").isNotNull())
+            .join(bset.filter(F.col("_w").isNotNull()).select("_w"),
+                  "_w", "left_semi"),
+            allowMissingColumns=True)
+    )
+    if not linked_hit.isEmpty():
+        raise ValueError(
+            "update touches a linked label node (name/wikidata matches a "
+            "standing boundary): linking invalidated — run the full "
+            "build (see module docstring)"
         )
     # rank adjustments against the STANDING boundary hierarchy (unchanged
     # by scope guard): parent_address_level from the deepest existing area
@@ -105,27 +142,60 @@ def apply_place_updates(
     # anything whose cell falls inside the padded cover of an updated OR
     # DELETED geometry (place_force_update semantics: a deleted street's
     # houses must re-parent too)
-    dirty_boxes = fresh.select("place_id", "minx", "miny", "maxx", "maxy")
+    dirty_boxes = fresh.select("place_id", "rank_search",
+                               "minx", "miny", "maxx", "maxy")
     if del_ids is not None:
         dirty_boxes = dirty_boxes.unionByName(
             placex.join(del_ids, "place_id", "left_semi")
-            .select("place_id", "minx", "miny", "maxx", "maxy")
+            .select("place_id", "rank_search",
+                    "minx", "miny", "maxx", "maxy")
         )
+    # rank-dependent invalidation pad: street/POI/house changes reach as
+    # far as the street-parenting box; a place node/area of rank 16..25
+    # additionally reaches every place inside its fuzzy address radius
+    # (place_node_fuzzy_area, utils.sql:338-358 — the update_place_diameter
+    # cascade of the reference)
+    from nominatim_spark.grid import EARTH_DEG_M
+
+    fuzzy_deg = (
+        F.when(F.col("rank_search") <= 16, 15000.0)
+        .when(F.col("rank_search") <= 18, 4000.0)
+        .when(F.col("rank_search") <= 19, 2000.0)
+        .when(F.col("rank_search") <= 20, 1000.0)
+        .otherwise(500.0) / F.lit(EARTH_DEG_M)
+    )
+    pad = F.when(F.col("rank_search") >= 26, F.lit(_PAD)).otherwise(
+        fuzzy_deg + F.lit(_PAD))
     pad_cells = (
         dirty_boxes
-        .withColumn("minx", F.col("minx") - _PAD)
-        .withColumn("miny", F.col("miny") - _PAD)
-        .withColumn("maxx", F.col("maxx") + _PAD)
-        .withColumn("maxy", F.col("maxy") + _PAD)
+        .withColumn("minx", F.col("minx") - pad)
+        .withColumn("miny", F.col("miny") - pad)
+        .withColumn("maxx", F.col("maxx") + pad)
+        .withColumn("maxy", F.col("maxy") + pad)
+        .withColumn("_sub26", F.col("rank_search") < 26)
     )
     from nominatim_spark.operators.spatial import explode_bbox_cells
 
-    inval_cells = explode_bbox_cells(pad_cells, res=CELL_RES).select("cell").distinct()
+    inval_cells = (
+        explode_bbox_cells(pad_cells.filter(~F.col("_sub26")), res=CELL_RES)
+        .select("cell").distinct())
+    # POIs/houses inside a street-level cover re-parent; EVERY rank>=26
+    # place inside a place-node/area cover re-tokenizes (its address
+    # vocabulary carries the node's name)
     invalidated = (
-        placex.filter(F.col("rank_search") >= 28)  # POIs/houses re-parent
+        placex.filter(F.col("rank_search") >= 28)
         .join(inval_cells, "cell", "left_semi")
         .join(upd_ids, "place_id", "left_anti")
     )
+    sub26 = pad_cells.filter(F.col("_sub26"))
+    if not sub26.isEmpty():
+        node_cells = (explode_bbox_cells(sub26, res=CELL_RES)
+                      .select("cell").distinct())
+        invalidated = invalidated.unionByName(
+            placex.filter(F.col("rank_search") >= 26)
+            .join(node_cells, "cell", "left_semi")
+            .join(upd_ids, "place_id", "left_anti")
+        ).dropDuplicates(["place_id"])
     if del_ids is not None:
         invalidated = invalidated.join(del_ids, "place_id", "left_anti")
 

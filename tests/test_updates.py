@@ -171,3 +171,59 @@ def test_street_rename_reindexes(spark, index):
     # they are still present and parented)
     house = idx2.placex.filter(f"osm_id = {1000000 + sid * 100}").head()
     assert house is not None and house.parent_place_id is not None
+
+
+def test_place_node_rename_incremental(spark, tmp_path):
+    """A place-node update (rank 16..25) is IN the incremental scope: its
+    fuzzy-radius cover invalidates every rank>=26 place whose address
+    vocabulary carries the node's name (update_place_diameter cascade,
+    utils.sql:541-587)."""
+    from nominatim_spark.pipeline.placex import build_index
+
+    place = synth.place_df(spark, **SCALE)
+    cx, cy = synth.city_center(0)
+    suburb = {
+        "osm_type": "N", "osm_id": 555000, "class": "place",
+        "type": "suburb", "admin_level": None,
+        "name": {"name": "Altstadt"}, "address": {}, "extratags": {},
+        "geometry": point_wkb(cx - 0.077, cy - 0.0945),
+        "categories": None,
+    }
+    place = place.unionByName(_place_rows(spark, [suburb]))
+    idx0 = build_index(spark, place, ckpt_root=str(tmp_path / "nodeupd"))
+    idx0.search_name.persist().count()
+
+    poi = synth.poi_name(0, 0)
+    q = spark.createDataFrame(
+        [("a", f"{poi}, Altstadt"), ("b", f"{poi}, Neustadt")],
+        "query_id string, qtext string",
+    )
+    res0 = {r.query_id: r for r in geocode(spark, idx0, q).collect()}
+    assert res0["a"].osm_id == 100000   # precondition: fuzzy node context
+    assert "b" not in res0
+
+    renamed = dict(suburb, name={"name": "Neustadt"})
+    idx1 = apply_place_updates(spark, idx0,
+                               _place_rows(spark, [renamed]))
+    res1 = {r.query_id: r for r in geocode(spark, idx1, q).collect()}
+    assert res1["b"].osm_id == 100000   # new name reached the vectors
+    assert "a" not in res1              # old name gone
+    # the node itself re-indexed under its new name
+    q2 = spark.createDataFrame([("s", "Neustadt")],
+                               "query_id string, qtext string")
+    got = geocode(spark, idx1, q2).collect()
+    assert len(got) == 1 and got[0].osm_id == 555000
+
+
+def test_linked_label_node_update_rejected(spark, index):
+    """Updating a LINKED label node invalidates linking — full build
+    required (documented scope cut)."""
+    row = {
+        "osm_type": "N", "osm_id": 3000, "class": "place", "type": "city",
+        "admin_level": None, "name": {"name": "Vels Renamed"},
+        "address": {}, "extratags": {"wikidata": "Q1000"},
+        "geometry": point_wkb(*synth.city_center(0)),
+        "categories": None,
+    }
+    with pytest.raises(ValueError, match="linked"):
+        apply_place_updates(spark, index, _place_rows(spark, [row]))
