@@ -1282,6 +1282,88 @@ FROM (SELECT l_orderkey, list_distinct(list(l_partkey)) AS vec
 """
 
 
+def q_addr_ladder_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path address ranking ladder fold (F16/round-4 —
+    db_search_builder.py:314-366 get_addr_ranking + weigh_search): each
+    'candidate' carries a sorted id vector; a per-phrase LADDER of
+    (penalty, id-set) entries charges the cheapest entry whose ids the
+    vector fully contains, else the phrase default.  Same single-pass
+    aggregate expression as pipeline/search.py's candidate fold.
+    Ladder: whole phrase [1,2] at 0.0, single-word paths [1]/[2] at 0.1,
+    default 0.4."""
+    li = load(spark, sf_dir, "lineitem")
+    vec = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey")))
+        .alias("vec")
+    )
+    ladder = (
+        "array(struct(CAST(0.4 AS DOUBLE) AS dflt, array("
+        "struct(CAST(0.0 AS DOUBLE) AS pen, array(1L, 2L) AS ids), "
+        "struct(CAST(0.1 AS DOUBLE) AS pen, array(1L) AS ids), "
+        "struct(CAST(0.1 AS DOUBLE) AS pen, array(2L) AS ids)"
+        ") AS entries))"
+    )
+    return vec.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.expr(
+            f"aggregate({ladder}, 0.0D, (acc, ph) -> acc + "
+            "aggregate(ph.entries, ph.dflt, (best, e) -> "
+            "IF(e.pen < best AND forall(e.ids, i -> "
+            "array_contains(vec, i)), e.pen, best)))"
+        ).alias("penalty"),
+    )
+
+
+Q_ADDR_LADDER_SQL = """
+SELECT l_orderkey AS orderkey,
+       CASE WHEN list_contains(vec, 1) AND list_contains(vec, 2)
+              THEN CAST(0.0 AS DOUBLE)
+            WHEN list_contains(vec, 1) OR list_contains(vec, 2)
+              THEN CAST(0.1 AS DOUBLE)
+            ELSE CAST(0.4 AS DOUBLE) END AS penalty
+FROM (SELECT l_orderkey, list_distinct(list(l_partkey)) AS vec
+      FROM lineitem GROUP BY 1)
+"""
+
+
+def q_postcode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-country postcode normalization, JVM column-pattern path
+    (F8/round-4 — postcodes.with_normalized_postcode: 161-row pattern
+    dim join + rlike/regexp_replace with output templates).  Synthetic
+    cc-prefixed values from customer phone digits: country 'de' rows
+    conform (5 digits, prefix strips), country 'ad' rows do not (3-digit
+    format) and normalize to NULL."""
+    from nominatim_spark.pipeline.postcodes import with_normalized_postcode
+
+    cust = load(spark, sf_dir, "customer")
+    digits = F.lpad(((F.col("c_custkey") * 7919) % 100000)
+                    .cast("string"), 5, "0")
+    df = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 2 == 0, "de").otherwise("ad")
+        .alias("country_code"),
+        F.concat(
+            F.when(F.col("c_custkey") % 2 == 0, "DE-").otherwise("AD-"),
+            digits,
+        ).alias("raw_pc"),
+    )
+    return with_normalized_postcode(df, F.col("raw_pc")).select(
+        "custkey", F.col("_pc_norm").alias("postcode"),
+    )
+
+
+Q_POSTCODE_NORM_SQL = r"""
+SELECT c_custkey AS custkey,
+       CASE WHEN c_custkey % 2 = 0
+              AND NOT regexp_full_match(
+                    lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0'),
+                    '[0\- ]+')
+            THEN lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0')
+            ELSE NULL END AS postcode
+FROM customer
+"""
+
+
 def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse-geocode every page coordinate through the tiered cascade
     (kNN ring expansion -> PiP areas -> country)."""
@@ -1338,6 +1420,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "min_dist_penalty": (q_min_dist_penalty, Q_MIN_DIST_SQL),
     "array_merge": (q_array_merge, Q_ARRAY_MERGE_SQL),
     "collect_sorted": (q_collect_sorted, Q_COLLECT_SQL),
+    "addr_ladder_fold": (q_addr_ladder_fold, Q_ADDR_LADDER_SQL),
+    "postcode_normalize_jvm": (q_postcode_normalize, Q_POSTCODE_NORM_SQL),
     "geocode_pages_e2e": (q_geocode_pages, None),
     "reverse_geocode_e2e": (q_reverse_geocode, None),
     "incremental_update_e2e": (q_incremental_update, None),
