@@ -13,6 +13,7 @@ class/type, importance, and a [south, north, west, east] boundingbox.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 LICENCE = "Data synthesized by nominatim_spark; reference semantics ODbL"
@@ -61,17 +62,37 @@ def to_json_col(df: DataFrame, out: str = "result_json") -> DataFrame:
     return df.withColumn(out, F.to_json(result_struct()))
 
 
-def to_geojson_col(df: DataFrame, out: str = "result_geojson") -> DataFrame:
-    """GeoJSON Feature per result (geometry = centroid point)."""
-    feature = F.struct(
-        F.lit("Feature").alias("type"),
-        result_struct().alias("properties"),
-        F.struct(
-            F.lit("Point").alias("type"),
-            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
-        ).alias("geometry"),
+def _point_geojson_col() -> Column:
+    """Serialized Point geometry from lon/lat (the centroid fallback)."""
+    return F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        F.col("lon").cast("string"), F.lit(","),
+        F.col("lat").cast("string"), F.lit("]}"),
     )
-    return df.withColumn(out, F.to_json(feature))
+
+
+def _geometry_json() -> Column:
+    """The feature's geometry JSON: the full polygon/line geometry when a
+    ``geometry_geojson`` column rides the frame (polygon_geojson output,
+    see :func:`add_geometry_output`), else the centroid Point."""
+    return F.coalesce(F.col("geometry_geojson"), _point_geojson_col())
+
+
+def to_geojson_col(df: DataFrame, out: str = "result_geojson") -> DataFrame:
+    """GeoJSON Feature per result (geometry = the full stored geometry
+    when ``add_geometry_output`` ran on the frame, else the centroid
+    point).  The geometry arrives pre-serialized, so the feature is
+    assembled by concat — to_json would double-encode it."""
+    geom = (_geometry_json() if "geometry_geojson" in df.columns
+            else _point_geojson_col())
+    return df.withColumn(
+        out,
+        F.concat(
+            F.lit('{"type":"Feature","properties":'),
+            F.to_json(result_struct()),
+            F.lit(',"geometry":'), geom, F.lit("}"),
+        ),
+    )
 
 
 # rank_address -> geocodejson 'type' label (format_json.py:314-322)
@@ -107,15 +128,16 @@ def to_geocodejson_col(df: DataFrame,
         _geocodejson_rank_label().alias("type"),
         F.col("display_name").alias("label"),
     )
-    feature = F.struct(
-        F.lit("Feature").alias("type"),
-        F.struct(geocoding.alias("geocoding")).alias("properties"),
-        F.struct(
-            F.lit("Point").alias("type"),
-            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
-        ).alias("geometry"),
+    geom = (_geometry_json() if "geometry_geojson" in df.columns
+            else _point_geojson_col())
+    return df.withColumn(
+        out,
+        F.concat(
+            F.lit('{"type":"Feature","properties":'),
+            F.to_json(F.struct(geocoding.alias("geocoding"))),
+            F.lit(',"geometry":'), geom, F.lit("}"),
+        ),
     )
-    return df.withColumn(out, F.to_json(feature))
 
 
 def geocodejson_envelope(features: list[str], query: str | None = None
@@ -155,6 +177,56 @@ def to_xml_col(df: DataFrame, out: str = "result_xml") -> DataFrame:
             F.lit('"/>'),
         ),
     )
+
+
+GEOMETRY_OUTPUTS = ("geojson", "text", "kml", "svg")
+
+
+def add_geometry_output(results: DataFrame, placex: DataFrame | None = None,
+                        output=("geojson",), simplify: float = 0.0,
+                        ndigits: int = 7) -> DataFrame:
+    """Attach serialized full-geometry columns (``geometry_geojson`` /
+    ``geometry_text`` / ``geometry_kml`` / ``geometry_svg``) to result
+    rows — the reference's polygon_geojson/text/kml/svg output knobs
+    (v1/helpers.py:76-82; ``_add_geometry_columns`` in reverse.py:126-142
+    with ST_AsGeoJSON(col, 7) etc. and the geometry_simplification
+    tolerance).
+
+    When the results don't already carry the WKB ``geometry`` column it
+    is joined from ``placex`` by place_id.  Serialization runs as one
+    Arrow-batched pandas UDF over the RESULT rows only (output path —
+    top-k per query — never the candidate set), so the cost is bounded
+    by the response size at any input scale.  Rows without a stored
+    geometry yield null (formatters fall back to the centroid Point).
+    """
+
+    fmts = [f for f in GEOMETRY_OUTPUTS if f in output]
+    if not fmts:
+        raise ValueError(f"no known format in {output!r}")
+    if "geometry" not in results.columns:
+        if placex is None:
+            raise ValueError("results lack a geometry column and no "
+                             "placex was given to join it from")
+        results = results.join(
+            placex.select("place_id", "geometry"), "place_id", "left")
+
+    ret_type = ", ".join(f"geometry_{f} string" for f in fmts)
+
+    @F.pandas_udf(ret_type)
+    def _ser(geom: pd.Series) -> pd.DataFrame:
+        from nominatim_spark.geometry.serialize import serialize_wkb
+
+        cols = {}
+        for f in fmts:
+            cols[f"geometry_{f}"] = [
+                serialize_wkb(g, f, ndigits=ndigits, simplify=simplify)
+                for g in geom]
+        return pd.DataFrame(cols)
+
+    res = results.withColumn("_geo", _ser("geometry")).drop("geometry")
+    for f in fmts:
+        res = res.withColumn(f"geometry_{f}", F.col(f"_geo.geometry_{f}"))
+    return res.drop("_geo")
 
 
 def display_name_col(parts: list[str]) -> Column:

@@ -65,16 +65,23 @@ def build_place_addressline(spark, placex: DataFrame) -> DataFrame:
     )
 
 
-def address_details(placex: DataFrame, addressline: DataFrame) -> DataFrame:
+def address_details(placex: DataFrame, addressline: DataFrame,
+                    locales=None) -> DataFrame:
     """Per place: the ordered display-address parts (J19 display join).
 
     Returns (place_id, display_name) where display_name joins the place's
     own name with its isaddress ancestors by rank_address descending —
-    the reference's locale display line.
+    the reference's locale display line.  ``locales`` (a
+    :class:`~nominatim_spark.pipeline.localization.Locales`) selects each
+    part's name per the caller's language priority (the reference's
+    ``Locales.localize`` applied to address rows, localization.py:101-111).
     """
+    from nominatim_spark.pipeline.localization import DEFAULT_LOCALES
+
+    loc = locales or DEFAULT_LOCALES
     names = placex.select(
         F.col("place_id").alias("address_place_id"),
-        F.col("name").getItem("name").alias("part_name"),
+        loc.display_name_expr("name").alias("part_name"),
     )
     parts = (
         addressline.filter(F.col("isaddress"))
@@ -95,7 +102,7 @@ def address_details(placex: DataFrame, addressline: DataFrame) -> DataFrame:
         F.expr("transform(_parts, p -> p.nm)").alias("addr_parts"),
     )
     own = placex.select(
-        "place_id", F.col("name").getItem("name").alias("own_name"),
+        "place_id", loc.display_name_expr("name").alias("own_name"),
         F.col("address").getItem("housenumber").alias("own_hnr"),
     )
     return own.join(ordered, "place_id", "left").select(

@@ -108,17 +108,19 @@ def lookup_places(spark, idx: IndexTables, refs,
 
 def place_details(spark, idx: IndexTables, refs,
                   addressline: DataFrame | None = None,
-                  **kw) -> DataFrame:
+                  locales=None, **kw) -> DataFrame:
     """Place rows plus the ordered display-address chain — the /details
     endpoint (get_detailed_place + add_result_details,
-    lookup.py:155-174, results.py:570-671)."""
+    lookup.py:155-174, results.py:570-671).  ``locales`` localizes every
+    display part per the caller's accept-language priority (the
+    reference's ``localize_results``)."""
     from nominatim_spark.pipeline.addressline import (
         address_details, build_place_addressline)
 
     hits = lookup_places(spark, idx, refs, **kw)
     if addressline is None:
         addressline = build_place_addressline(spark, idx.placex)
-    chain = address_details(idx.placex, addressline)
+    chain = address_details(idx.placex, addressline, locales=locales)
     return hits.join(chain, "place_id", "left")
 
 

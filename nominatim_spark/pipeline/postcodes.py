@@ -262,19 +262,25 @@ class PostcodeParser:
         self.locals = [(re.compile(body), list(info.items()))
                        for body, info in unique.items()]
 
-    def match(self, term: str, country: str | None = None) -> str | None:
-        """Normalized postcode when ``term`` (uppercased) is one, else
-        None.  ``country`` restricts to one country's format."""
+    def match_all(self, term: str, country: str | None = None) -> list[str]:
+        """EVERY country reading of ``term`` as a normalized postcode —
+        the reference's multi-interpretation parse (_match_word,
+        postcode_parser.py:85-110, adds one outcode per matching
+        (pattern, output) entry: '45325' yields both '45325' and the
+        '453 25' of the space-grouped countries).  Readings are distinct,
+        identity spelling first, templated expansions after in stable
+        sorted order.  ``country`` restricts to one country's format."""
         t = term.upper().strip()
         m = self.global_re.fullmatch(t)
         if m is None:
-            return None
+            return []
         cc, pc_word = m.group("cc"), m.group("pc")
         if country is not None and cc is not None and cc != country.upper():
-            return None
+            return []
         if _ZERO_RE.fullmatch(pc_word):
-            return None
-        best: str | None = None
+            return []
+        identity = False
+        expanded: set[str] = set()
         for pat, info in self.locals:
             lm = pat.fullmatch(pc_word)
             if lm is None:
@@ -285,14 +291,25 @@ class PostcodeParser:
                 if country is not None and country.upper() not in out_ccs:
                     continue
                 if out is None:
-                    # identity spelling — preferred reading for an
-                    # un-prefixed ambiguous number (the reference keeps
-                    # every country's interpretation in its outcode set;
-                    # the batch engine keeps the canonical one)
-                    return pc_word
-                if best is None:
-                    best = lm.expand(out)
-        return best
+                    identity = True
+                else:
+                    got = lm.expand(out)
+                    if got == pc_word:
+                        # template reproduces the raw spelling (e.g. GB
+                        # 'EC1R 3HF' through '\1 \2') — that IS the
+                        # identity reading
+                        identity = True
+                    else:
+                        expanded.add(got)
+        readings = [pc_word] if identity else []
+        readings += sorted(expanded)
+        return readings
+
+    def match(self, term: str, country: str | None = None) -> str | None:
+        """First (canonical) reading of ``term``, else None — the
+        single-reading view over :meth:`match_all`."""
+        readings = self.match_all(term, country)
+        return readings[0] if readings else None
 
 
 _PARSER: PostcodeParser | None = None
@@ -303,6 +320,13 @@ def match_postcode(term: str, country: str | None = None) -> str | None:
     if _PARSER is None:
         _PARSER = PostcodeParser()
     return _PARSER.match(term, country)
+
+
+def match_postcode_all(term: str, country: str | None = None) -> list[str]:
+    global _PARSER
+    if _PARSER is None:
+        _PARSER = PostcodeParser()
+    return _PARSER.match_all(term, country)
 
 
 def with_normalized_postcode(df: DataFrame, pc_expr,

@@ -46,6 +46,75 @@ from nominatim_spark.pipeline.placex import IndexTables
 MAX_STREET_DIST_DEG = 0.006  # reverse.py:322-389 street search radius
 HOUSE_DIST_DEG = 0.001       # housenumber/interpolation refine radius
 NODE_REFINE_MIN_RANK = 13    # batch floor for place-node refinement
+FEATURE_DIST_DEG = 0.007     # _lookup_area_others ST_Expand radius (:471)
+
+DEFAULT_LAYERS = ("address", "poi")  # ReverseDetails default (types.py:595)
+FEATURE_LAYERS = ("railway", "natural", "manmade")
+
+
+def _layer_class_filter(layers):
+    """Class membership for the railway/natural/manmade feature layers —
+    the reference's _filter_by_layer (reverse.py:144-158): with manmade
+    enabled everything EXCEPT the disabled layers' classes passes, else
+    only the enabled layers' classes pass."""
+    if "manmade" in layers:
+        exclude = []
+        if "railway" not in layers:
+            exclude.append("railway")
+        if "natural" not in layers:
+            exclude.extend(("natural", "water", "waterway"))
+        return (~F.col("class").isin(exclude)) if exclude else F.lit(True)
+    include = []
+    if "railway" in layers:
+        include.append("railway")
+    if "natural" in layers:
+        include.extend(("natural", "water", "waterway"))
+    return F.col("class").isin(include)
+
+
+def _tier1_layer_restrict(placex, layers, max_rank: int):
+    """Tier-1 candidate restriction per enabled layer — the reference's
+    _find_closest_street_or_pois restrict union (reverse.py:185-200):
+
+    * ADDRESS: rank_address 26..min(29, max_rank); at max_rank 30 also
+      address points (IsAddressPoint, sqlalchemy_functions.py:115-134 —
+      rank_address 30, not inherited, housenumber or addr:housename)
+    * POI (max_rank 30 only): rank_search 30, class not place/building,
+      not line-like
+    * feature layers: rank_search 26..max_rank, rank_address 0, class in
+      the layer set
+    """
+    conds = []
+    if "address" in layers:
+        c = F.col("rank_address").between(26, min(29, max_rank))
+        if max_rank == 30:
+            c = c | (
+                (F.col("rank_address") == 30)
+                & F.col("address").getItem("_inherited").isNull()
+                & (F.col("address").getItem("housenumber").isNotNull()
+                   | F.col("name").getItem("addr:housename").isNotNull())
+            )
+        conds.append(c)
+    if "poi" in layers and max_rank == 30:
+        c = ((F.col("rank_search") == 30)
+             & ~F.col("class").isin("place", "building"))
+        if "geom_kind" in placex.columns:
+            c = c & (~F.col("geom_kind").isin("LineString",
+                                              "MultiLineString")
+                     | F.col("geom_kind").isNull())
+        conds.append(c)
+    if any(ly in layers for ly in FEATURE_LAYERS):
+        conds.append(
+            F.col("rank_search").between(26, max_rank)
+            & (F.col("rank_address") == 0)
+            & _layer_class_filter(layers)
+        )
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def _reverse_place_diameter(rs):
@@ -97,17 +166,30 @@ def reverse_geocode(
     point_key: str = "point_id",
     max_rank: int = 30,
     osmline: DataFrame | None = None,
+    layers: list[str] | None = None,
 ) -> DataFrame:
-    """points(point_id, lon, lat) -> best place per point."""
+    """points(point_id, lon, lat) -> best place per point.
+
+    ``layers`` filters which kinds of places may answer (the reference's
+    DataLayer flags, ReverseDetails.layers default ADDRESS|POI,
+    types.py:586-597): any of 'address', 'poi', 'railway', 'natural',
+    'manmade'.  Feature layers search named rank_address-0 places within
+    0.007 deg (reverse.py _lookup_area_others:461-489); the country
+    fallback only answers for the address layer (lookup(): 633).
+    """
+    layers = [ly.lower() for ly in (layers or DEFAULT_LAYERS)]
+    has_addr = "address" in layers
     placex = idx.placex
     if "linked_place_id" in placex.columns:
         # linked label nodes never surface as reverse results (P5 guard)
         placex = placex.filter(F.col("linked_place_id").isNull())
     pts = points.select(point_key, "lon", "lat")
 
-    # ---- tier 1: nearest street/POI within the radius
+    # ---- tier 1: nearest street/POI within the radius, restricted to
+    # the enabled layers (reverse.py:185-200 restrict union)
     near_places = placex.filter(
         F.col("rank_search").between(26, max_rank)
+        & _tier1_layer_restrict(placex, layers, max_rank)
     ).select(F.col("place_id").alias("cand_id"), "lon", "lat")
     knn = knn_join(
         points, near_places, res=7, point_key=point_key, cand_key="cand_id",
@@ -124,7 +206,7 @@ def reverse_geocode(
     # ---- tier 1 refinement: street winner -> housenumber point or
     # interpolation segment of that street (reverse.py:242-320,:322-389)
     house_ref = interp_ref = None
-    if max_rank > 27:
+    if max_rank > 27 and has_addr:
         streets = (
             t1.filter(F.col("_t1_ra").between(26, 27))
             .select(point_key, F.col("t1_place").alias("_street"))
@@ -213,8 +295,11 @@ def reverse_geocode(
     # ---- tier 2: deepest containing area (distributed PiP cover join —
     # the area table scales with the planet, nothing reaches the driver).
     # Country-level polygons (rank_address <= 4) are tier 3 below.
+    # Address-layer only (lookup_area, reverse.py:491-516); capped at
+    # max_rank like the reference's rank_search <= MAX_RANK_PARAM.
     areas = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(5, 25)
+        & (F.col("rank_search") <= F.lit(max_rank))
     ).select(
         F.col("place_id").alias("a_id"),
         F.col("rank_address").alias("a_addr"),
@@ -242,6 +327,7 @@ def reverse_geocode(
         (F.col("osm_type") == "N")
         & F.col("rank_address").between(4, 25)
         & (F.col("rank_search") >= NODE_REFINE_MIN_RANK)
+        & (F.col("rank_search") <= F.lit(max_rank))
         & F.col("name").getItem("name").isNotNull()
     ).select(
         F.col("place_id").alias("n_id"),
@@ -276,9 +362,46 @@ def reverse_geocode(
         F.coalesce("n_best", "t2_place").alias("t2_place"),
         F.col("n_best").isNotNull().alias("t2_is_node"),
     )
+    if not has_addr:
+        # lookup_area's address branch runs only for the ADDRESS layer
+        # (reverse.py:497-500)
+        t2r = pts.select(
+            point_key,
+            F.lit(None).cast("long").alias("t2_place"),
+            F.lit(None).cast("boolean").alias("t2_is_node"),
+        ).limit(0)
+
+    # ---- tier 2b: named non-address features of the enabled feature
+    # layers within 0.007 deg (_lookup_area_others, reverse.py:461-489):
+    # highest rank_search wins, distance breaks ties.  Loses to a
+    # containing address area (the reference's _get_closest with the
+    # address row's literal 0.0 distance, :502-516).
+    t2o = None
+    if any(ly in layers for ly in FEATURE_LAYERS):
+        from nominatim_spark.operators.spatial import within_distance_join
+
+        others = placex.filter(
+            (F.col("rank_address") == 0)
+            & F.col("rank_search").between(5, max_rank)
+            & (F.size(F.map_keys(F.col("name"))) > 0)
+            & _layer_class_filter(layers)
+        ).select(F.col("place_id").alias("o_id"), "lon", "lat",
+                 F.col("rank_search").alias("o_rs"))
+        t2o = (
+            within_distance_join(
+                points, others.select("o_id", "lon", "lat"),
+                radius_deg=FEATURE_DIST_DEG, point_key=point_key,
+                cand_key="o_id",
+            )
+            .join(others.select("o_id", "o_rs"), "o_id")
+            .groupBy(point_key)
+            .agg(F.expr("min_by(o_id, struct(-o_rs, dist2, o_id))")
+                 .alias("t2o_place"))
+        )
 
     # ---- tier 3: country containment (the reference's country fallback,
-    # reverse.py:520-605 lookup_country) — rank_address 1..4 polygons
+    # reverse.py:520-605 lookup_country) — rank_address 1..4 polygons;
+    # address layer only (lookup(): row fallback gated on ADDRESS, :633)
     countries = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 4)
     ).select(
@@ -299,11 +422,15 @@ def reverse_geocode(
     )
 
     # ---- cascade
+    out = points.join(t1r, point_key, "left").join(t2r, point_key, "left")
+    out = (out.join(t2o, point_key, "left") if t2o is not None
+           else out.withColumn("t2o_place", F.lit(None).cast("long")))
+    out = (out.join(tier3, point_key, "left") if has_addr
+           else out.withColumn("t3_place", F.lit(None).cast("long")))
     out = (
-        points.join(t1r, point_key, "left")
-        .join(t2r, point_key, "left")
-        .join(tier3, point_key, "left")
-        .withColumn("place_id", F.coalesce("t1_place", "t2_place", "t3_place"))
+        out
+        .withColumn("place_id", F.coalesce("t1_place", "t2_place",
+                                           "t2o_place", "t3_place"))
         .withColumn(
             "tier",
             F.when(F.col("t1_place").isNotNull(), F.col("t1_kind"))
@@ -311,12 +438,13 @@ def reverse_geocode(
                 F.col("t2_place").isNotNull(),
                 F.when(F.col("t2_is_node"), "place_node").otherwise("area"),
             )
+            .when(F.col("t2o_place").isNotNull(), "feature")
             .when(F.col("t3_place").isNotNull(), "country")
             .otherwise("none"),
         )
         .withColumn("housenumber", F.col("t1_hnr"))
-        .drop("t1_place", "t2_place", "t3_place", "t1_kind", "t1_hnr",
-              "t2_is_node")
+        .drop("t1_place", "t2_place", "t2o_place", "t3_place", "t1_kind",
+              "t1_hnr", "t2_is_node")
     )
     info = placex.select(
         "place_id", "osm_type", "osm_id", "class", "type",

@@ -62,20 +62,32 @@ _LETTER_TOK = re.compile(r"^[a-zA-Z]$")
 # global alternation with an optional country-code prefix ('DE 12345',
 # 'DE-12345') and per-pattern output normalization; all-zero forms
 # rejected.  See pipeline/postcodes.py.
-from nominatim_spark.pipeline.postcodes import match_postcode as \
-    _match_postcode
+from nominatim_spark.pipeline.postcodes import match_postcode_all as \
+    _match_postcode_all
 
 
-def _extract_pc(tokens: list[str]) -> tuple[str | None, list[str]]:
+def _match_pc(term: str) -> tuple[str, ...] | None:
+    """EVERY country reading of ``term`` as a normalized postcode
+    (canonical spelling first), or None — the reference keeps the full
+    multi-country outcode set per token (postcode_parser.py:85-110:
+    '45325' is both the identity '45325' and Sweden's '453 25'), and so
+    does the assignment: ONE row whose readings array the postcode lanes
+    explode/aggregate against the table."""
+    got = _match_postcode_all(term)
+    return tuple(got) if got else None
+
+
+def _extract_pc(tokens: list[str]
+                ) -> tuple[tuple[str, ...] | None, list[str]]:
     """Split a leading or trailing postcode window (1-3 tokens, so
     'CV 12345' and 'GB EC1R 3HF' work — the reference concatenates up to
     three terms, postcode_parser.py:63-71) off a token stream."""
     for size in (3, 2, 1):
         if len(tokens) >= size:
-            got = _match_postcode(" ".join(tokens[:size]))
+            got = _match_pc(" ".join(tokens[:size]))
             if got is not None:
                 return got, tokens[size:]
-            got = _match_postcode(" ".join(tokens[-size:]))
+            got = _match_pc(" ".join(tokens[-size:]))
             if got is not None:
                 return got, tokens[:-size]
     return None, tokens
@@ -258,7 +270,7 @@ def _enumerate_assignments(q: str) -> list[tuple]:
         # trailing postcode on the name phrase ('Birch Street 47000, ...')
         ntoks = name.split()
         if pc is None and len(ntoks) > 1:
-            got = _match_postcode(ntoks[-1])
+            got = _match_pc(ntoks[-1])
             if got is not None:
                 pc = got
                 emit_phrased(" ".join(ntoks[:-1]), 0.0)
@@ -277,7 +289,7 @@ def _enumerate_assignments(q: str) -> list[tuple]:
 
     raw_toks = phrases[0].split()
     if len(raw_toks) == 1:
-        got = _match_postcode(raw_toks[0])
+        got = _match_pc(raw_toks[0])
         if got is not None:
             # postcode-only assignment (:374-381)
             return [("", None, "", got, _P_POSTCODE, 0, [])]
@@ -439,14 +451,19 @@ def _parse_batch(qtext: pd.Series, pre=None, table=None) -> pd.DataFrame:
         for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk, qk) in enumerate(
                 _assignments(q, table)):
             spans, paths, dflts = _addr_ladder(aphr)
-            rows.append((pos, aid, name, hnr, addr, pc, pen, dirn, full,
-                         aphr, nk, qk, spans, paths, dflts))
+            # pc is the full multi-country readings tuple (canonical
+            # spelling first); 'postcode' keeps the canonical scalar,
+            # 'pc_all' the whole set for the lanes to explode
+            rows.append((pos, aid, name, hnr, addr,
+                         pc[0] if pc else None, pen, dirn, full,
+                         aphr, nk, qk, spans, paths, dflts,
+                         list(pc) if pc else None))
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",
                  "postcode", "apenalty", "adirection", "full_norm",
                  "addr_phrases", "near_key", "qual_key", "addr_spans",
-                 "addr_paths", "addr_dflts"],
+                 "addr_paths", "addr_dflts", "pc_all"],
     )
 
 
@@ -478,7 +495,7 @@ def parse_queries(queries: DataFrame, text_col: str = "qtext",
          ", near_key string, qual_key string"
          ", addr_spans array<struct<pos:int,sid:int,txt:string>>"
          ", addr_paths array<struct<pos:int,pen:double,sids:array<int>>>"
-         ", addr_dflts array<double>")
+         ", addr_dflts array<double>, pc_all array<string>")
 
     def run(batches):
         for pdf in batches:
@@ -850,6 +867,20 @@ LAYER_CLASSES: dict[str, tuple[str, ...]] = {
     "manmade": ("man_made", "aeroway", "military"),
 }
 
+# featureType parameter -> (min_rank, max_rank) window — the reference's
+# FEATURE_TYPE_TO_RANK (v1/helpers.py:50-64, applied by server_glue.py:336)
+FEATURE_TYPE_TO_RANK: dict[str, tuple[int, int]] = {
+    "country": (4, 4),
+    "state": (8, 8),
+    "city": (14, 16),
+    "settlement": (8, 20),
+}
+
+
+def feature_type_to_rank(feature_type: str | None) -> tuple[int, int]:
+    """featureType -> rank window; unknown/None -> the full 0..30."""
+    return FEATURE_TYPE_TO_RANK.get(feature_type, (0, 30))
+
 
 def score_hits(
     spark,
@@ -863,6 +894,7 @@ def score_hits(
     bounded_viewbox: bool = False,
     layers: list[str] | None = None,
     excluded_place_ids: list[int] | None = None,
+    feature_type: str | None = None,
     near_radius_deg: float = 0.02,
     preprocessors: list | None = None,
     phrases=None,
@@ -999,6 +1031,17 @@ def score_hits(
     if layers:
         classes = [c for lyr in layers for c in LAYER_CLASSES[lyr]]
         cand = cand.filter(F.col("class").isin(classes))
+    if feature_type is not None:
+        # featureType rank window (v1/helpers.py feature_type_to_rank;
+        # rank conditions per place_search.py:172-177 — either rank may
+        # satisfy the bound, so state-cities like Berlin still match)
+        min_rank, max_rank = feature_type_to_rank(feature_type)
+        if min_rank > 0:
+            cand = cand.filter((F.col("rank_address") >= min_rank)
+                               | (F.col("rank_search") >= min_rank))
+        if max_rank < 30:
+            cand = cand.filter((F.col("rank_address") <= max_rank)
+                               | (F.col("rank_search") <= max_rank))
     if viewbox is not None and bounded_viewbox:
         vx0, vy0, vx1, vy1 = viewbox
         cand = cand.filter(
@@ -1012,12 +1055,19 @@ def score_hits(
     # terms a flat 1.0 so PostcodeSearch outranks it.  The postcode table
     # is semi-joined down to the batch's postcodes before the broadcast.
     if has_pc_name:
+        # every country reading of the assignment's postcode token
+        # (pc_all, canonical first — postcode_parser.py keeps the full
+        # outcode set), exploded for the table join then re-aggregated to
+        # ONE row per assignment so the candidate set never multiplies
+        pc_all_col = (F.col("pc_all") if "pc_all" in q.columns
+                      else F.array("postcode"))
         qpc = q.filter(
             F.col("postcode").isNotNull() & (F.col("name_norm") != "")
         ).select(
-            "query_id", "assign_id", F.upper("postcode").alias("_qpc"),
+            "query_id", "assign_id",
+            F.explode(pc_all_col).alias("_qpc"),
             (F.col("addr_norm") != "").alias("_has_addr"),
-        )
+        ).withColumn("_qpc", F.upper("_qpc"))
     if postcodes is None and has_pc_name:
         # no postcode table: a name assignment that consumed a token as
         # a postcode cannot verify it — charge the unknown-postcode
@@ -1038,23 +1088,37 @@ def score_hits(
             .groupBy("_qpc")
             .agg(F.collect_list(F.struct("lon", "lat")).alias("_cents"))
         )
+        # fold the readings back to one row per assignment: the set of
+        # reading spellings (own-postcode equality check) and the union
+        # of every matched reading's centroids (distance penalty takes
+        # the min over ALL interpretations, matching the reference's
+        # best-of-outcode-set ranking)
+        qpc_agg = (
+            qpc.join(F.broadcast(pc_cents), "_qpc", "left")
+            .groupBy("query_id", "assign_id")
+            .agg(
+                F.collect_set("_qpc").alias("_qpcs"),
+                F.flatten(F.collect_list("_cents")).alias("_cents"),
+                F.first("_has_addr").alias("_has_addr"),
+            )
+        )
         min_dist = F.expr(
             "array_min(transform(_cents, c -> "
             "sqrt((c.lon - lon) * (c.lon - lon) + "
             "(c.lat - lat) * (c.lat - lat))))"
         )
         cand = (
-            cand.join(qpc, ["query_id", "assign_id"], "left")
-            .join(F.broadcast(pc_cents), "_qpc", "left")
+            cand.join(qpc_agg, ["query_id", "assign_id"], "left")
             .withColumn(
                 "apenalty",
                 F.col("apenalty")
-                + F.when(F.col("_qpc").isNull(), F.lit(0.0))
-                .when(F.col("own_pc") == F.col("_qpc"), F.lit(0.0))
+                + F.when(F.col("_qpcs").isNull(), F.lit(0.0))
+                .when(F.array_contains("_qpcs", F.upper("own_pc")),
+                      F.lit(0.0))
                 .when(~F.col("_has_addr"), F.lit(1.0))
                 .otherwise(F.coalesce(min_dist, F.lit(2.0))),
             )
-            .drop("_qpc", "_has_addr", "_cents")
+            .drop("_qpcs", "_has_addr", "_cents")
         )
 
     cand = cand.persist()
@@ -1199,9 +1263,17 @@ def score_hits(
         # only name-less assignments become a PostcodeSearch — with a name
         # present the postcode acts as a candidate penalty instead (see
         # the PlaceSearch block above; build_special_search:137-151)
+        # one PostcodeSearch per country reading (the reference emits one
+        # per outcode in the parsed set, postcode_parser.py:85-110) —
+        # '45325' resolves against both the identity and '453 25' rows
         qp = q.filter(
             F.col("postcode").isNotNull() & (F.col("name_norm") == "")
-        ).select("query_id", "assign_id", "postcode", "apenalty")
+        ).select(
+            "query_id", "assign_id",
+            F.explode(F.col("pc_all") if "pc_all" in q.columns
+                      else F.array("postcode")).alias("postcode"),
+            "apenalty",
+        )
         pc = postcodes.select(
             F.upper(F.col("postcode")).alias("postcode"),
             F.col("country_code").alias("pc_cc"),

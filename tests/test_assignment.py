@@ -23,7 +23,9 @@ def index(spark, tmp_path_factory):
 
 
 def _by_roles(assigns):
-    return {(a[0], a[1], a[2], a[3]): a[4] for a in assigns}
+    # a[3] is the multi-country readings tuple (canonical first) or None
+    return {(a[0], a[1], a[2], a[3][0] if a[3] else None): a[4]
+            for a in assigns}
 
 
 def test_comma_query_housenumber_dual_reading():
@@ -74,17 +76,38 @@ def test_leading_housenumber_penalized():
 
 def test_postcode_only_assignment():
     a = _assignments("47000")
-    assert a == [("", None, "", "47000", pytest.approx(0.1), 0, [], None,
-                  None)]
+    assert len(a) == 1
+    name, hnr, addr, pc, pen, dirn, aphr, nk, qk = a[0]
+    assert (name, hnr, addr) == ("", None, "")
+    # multi-country readings, canonical spelling first
+    # (postcode_parser.py:85-110 keeps the full outcode set)
+    assert pc[0] == "47000" and len(pc) > 1
+    assert pen == pytest.approx(0.1)
 
 
 def test_postcode_cc_prefix():
     # 'CV 47000' and 'CV-47000' strip the country prefix
-    # (postcode_parser.py norm_pattern / postcode_format.py:29)
-    assert _assignments("CV 47000")[0][3] == "47000"
-    assert _assignments("CV-47000")[0][3] == "47000"
+    # (postcode_parser.py norm_pattern / postcode_format.py:29);
+    # the explicit prefix pins the country: ONE reading
+    assert _assignments("CV 47000")[0][3] == ("47000",)
+    assert _assignments("CV-47000")[0][3] == ("47000",)
     # all-zero forms are rejected (postcode_format.py zero_pattern)
     assert _assignments("00000")[0][3] is None
+
+
+def test_postcode_multi_country_readings():
+    """Un-prefixed ambiguous numbers keep every country interpretation
+    (reference test_postcode_parser.py multi-country cases)."""
+    from nominatim_spark.pipeline.postcodes import match_postcode_all
+
+    # '45325' is Germany's identity AND Sweden/Poland/... groupings
+    got = match_postcode_all("45325")
+    assert got[0] == "45325"
+    assert "453 25" in got and "45-325" in got
+    # a country prefix restricts to that country's reading
+    assert match_postcode_all("cv 47000") == ["47000"]
+    # space-grouped spellings normalize through their own pattern only
+    assert match_postcode_all("ec1r 3hf") == ["EC1R 3HF"]
 
 
 def test_postcode_in_address_phrase():
@@ -99,7 +122,8 @@ def test_postcode_in_address_phrase():
 def test_postcode_parser_ported_shapes():
     """Shapes from the reference's postcode-parser tests
     (test/python/api/search/test_postcode_parser.py)."""
-    from nominatim_spark.pipeline.search import _match_postcode
+    from nominatim_spark.pipeline.postcodes import match_postcode as \
+        _match_postcode
 
     # case-insensitive multi-token postcode (:93-96)
     assert _match_postcode("ec1r 3hf") == "EC1R 3HF"
@@ -402,3 +426,24 @@ def test_geocode_postcode_lane(spark, index):
     assert abs(res["p1"].lon - cx) < 0.2 and abs(res["p1"].lat - cy) < 0.2
     assert res["p2"].type == "postcode"
     assert "miss" not in res
+
+
+def test_feature_type_rank_window(spark, index):
+    """featureType country/state/city/settlement rank windows
+    (v1/helpers.py feature_type_to_rank, VERDICT r4 ask #5)."""
+    idx, osmline = index
+    q = spark.createDataFrame(
+        [("c1", synth.city_name(1))], "query_id string, qtext string")
+    res = geocode(spark, idx, q, osmline=osmline,
+                  feature_type="city").collect()
+    assert len(res) == 1 and res[0].osm_id == 101
+    # a city name cannot answer a country-typed search
+    res = geocode(spark, idx, q, osmline=osmline,
+                  feature_type="country").collect()
+    assert res == []
+    # the country row does
+    qc = spark.createDataFrame(
+        [("c2", "Corvania")], "query_id string, qtext string")
+    res = geocode(spark, idx, qc, osmline=osmline,
+                  feature_type="country").collect()
+    assert len(res) == 1 and res[0].osm_id == 1

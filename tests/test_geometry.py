@@ -122,3 +122,97 @@ def test_simplify_geom_ring_stays_closed():
     assert np.allclose(ext[0], ext[-1])  # still closed
     # area essentially unchanged
     assert abs(ops.polygon_area(simp) - ops.polygon_area(geom)) < 0.01
+
+
+# ---- geometry output serialization (VERDICT r4 ask #3: polygon_geojson/
+# text/kml/svg — reference v1/helpers.py:76-82, _add_geometry_columns)
+
+def test_serialize_polygon_geojson():
+    import json
+
+    from nominatim_spark.geometry.serialize import serialize_wkb
+
+    w = wkb.polygon_wkb([(0, 0), (4, 0), (4, 4), (0, 4)],
+                        holes=[[(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]])
+    got = json.loads(serialize_wkb(w, "geojson"))
+    assert got["type"] == "Polygon"
+    # exterior ring closed, hole present
+    assert got["coordinates"][0][0] == got["coordinates"][0][-1]
+    assert len(got["coordinates"]) == 2
+    assert [1.0, 1.0] in got["coordinates"][1]
+
+
+def test_serialize_rounding_matches_st_asgeojson_digits():
+    import json
+
+    from nominatim_spark.geometry.serialize import serialize_wkb
+
+    w = wkb.point_wkb(9.52263484729, 47.14103521)
+    got = json.loads(serialize_wkb(w, "geojson", ndigits=7))
+    assert got["coordinates"] == [9.5226348, 47.1410352]
+
+
+def test_serialize_wkt_kml_svg_shapes():
+    from nominatim_spark.geometry.serialize import serialize_wkb
+
+    w = wkb.polygon_wkb([(0, 0), (1, 0), (1, 1), (0, 1)])
+    assert serialize_wkb(w, "text") == "POLYGON((0 0,1 0,1 1,0 1,0 0))"
+    kml = serialize_wkb(w, "kml")
+    assert kml.startswith("<Polygon><outerBoundaryIs><LinearRing>")
+    assert "0,0 1,0 1,1 0,1 0,0" in kml
+    # SVG negates y (ST_AsSVG convention) and closes with Z
+    svg = serialize_wkb(w, "svg")
+    assert svg.startswith("M 0 0 ") and svg.endswith(" Z")
+    assert "-1" in svg
+    ls = wkb.linestring_wkb([(0, 0), (2, 2)])
+    assert serialize_wkb(ls, "text") == "LINESTRING(0 0,2 2)"
+    assert serialize_wkb(None, "geojson") is None
+
+
+def test_serialize_simplify_tolerance():
+    from nominatim_spark.geometry.serialize import serialize_wkb
+
+    # collinear midpoint drops under Douglas-Peucker
+    ls = wkb.linestring_wkb([(0, 0), (1.0, 0.001), (2, 0)])
+    assert serialize_wkb(ls, "text", simplify=0.01) == "LINESTRING(0 0,2 0)"
+
+
+def test_add_geometry_output_spark(spark):
+    """Result rows carry the full polygon ring through the formatter
+    envelope (the done-condition of VERDICT ask #3)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from nominatim_spark.functions.format import (
+        add_geometry_output, to_geojson_col)
+
+    placex = spark.createDataFrame(
+        [(1, bytearray(wkb.polygon_wkb([(0, 0), (4, 0), (4, 4), (0, 4)]))),
+         (2, None)],
+        "place_id long, geometry binary")
+    results = spark.createDataFrame(
+        [(1, 2.0, 2.0, "Square Park"), (2, 9.0, 9.0, "No Geom")],
+        "place_id long, lon double, lat double, display_name string")
+    out = add_geometry_output(results, placex, output=("geojson", "kml"))
+    rows = {r.place_id: r for r in out.collect()}
+    geo = json.loads(rows[1].geometry_geojson)
+    assert geo["type"] == "Polygon"
+    assert [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]] \
+        == geo["coordinates"][0]
+    assert rows[1].geometry_kml.startswith("<Polygon>")
+    assert rows[2].geometry_geojson is None
+
+    # formatter: full geometry when present, centroid Point fallback
+    feats = {r.place_id: json.loads(r.result_geojson)
+             for r in to_geojson_col(
+                 out.withColumn("osm_type", F.lit("R"))
+                 .withColumn("osm_id", F.lit(1))
+                 .withColumn("class", F.lit("leisure"))
+                 .withColumn("type", F.lit("park"))
+                 .withColumn("importance", F.lit(0.5))
+             ).collect()}
+    assert feats[1]["geometry"]["type"] == "Polygon"
+    assert feats[2]["geometry"] == {"type": "Point",
+                                    "coordinates": [9.0, 9.0]}
+    assert feats[1]["properties"]["display_name"] == "Square Park"

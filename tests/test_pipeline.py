@@ -376,3 +376,73 @@ def test_reverse_place_node_refinement(spark, index):
     assert res["near_suburb"]["type"] == "suburb"
     assert res["mid_city"].tier == "area"
     assert res["mid_city"].osm_id == 100
+
+
+def test_reverse_layers_address_skips_poi(spark, index):
+    """VERDICT r4 ask #5: reverse with layers=['address'] must skip a
+    nearer POI (reference reverse.py:185-200 restrict union /
+    ReverseDetails.layers, types.py:586-597)."""
+    idx, _ = index
+    cx, cy = synth.city_center(0)
+    # exactly at POI 0 of city 0 (amenity/restaurant, 0.003 deg off its
+    # street) — default layers return the POI, address layer the street
+    pts = spark.createDataFrame(
+        [("at_poi", cx - 0.08, cy - 0.097)],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, idx, pts).collect()}
+    assert res["at_poi"].osm_id == 100000 and res["at_poi"].osm_type == "N"
+
+    # address layer: the POI is skipped; no address point within the
+    # street radius here, so the cascade answers with the containing
+    # city area (lookup_area, reverse.py:491-516)
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, idx, pts,
+                                    layers=["address"]).collect()}
+    assert res["at_poi"].__getattr__("class") == "boundary"
+    assert res["at_poi"].osm_id == 100
+    assert res["at_poi"].tier == "area"
+
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, idx, pts,
+                                    layers=["poi"]).collect()}
+    assert res["at_poi"].osm_id == 100000
+
+
+def test_reverse_feature_layer(spark, index):
+    """railway/natural feature layers answer from named rank_address-0
+    places within 0.007 deg (_lookup_area_others, reverse.py:461-489);
+    without the address layer there is no area/country fallback."""
+    import dataclasses
+
+    idx, _ = index
+    cx, cy = synth.city_center(0)
+    rail = (
+        idx.placex.filter("osm_id = 100000")
+        .withColumn("class", F.lit("railway"))
+        .withColumn("type", F.lit("rail"))
+        .withColumn("rank_address", F.lit(0))
+        .withColumn("rank_search", F.lit(20))
+        .withColumn("place_id", F.lit(999999001).cast("long"))
+        .withColumn("osm_id", F.lit(999001).cast("long"))
+    )
+    aug = dataclasses.replace(idx, placex=idx.placex.unionByName(rail))
+    pts = spark.createDataFrame(
+        [("at_rail", cx - 0.08, cy - 0.097)],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, aug, pts,
+                                    layers=["railway"]).collect()}
+    assert res["at_rail"].osm_id == 999001
+    assert res["at_rail"].tier == "feature"
+    # no natural candidates and no address fallback -> none
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, aug, pts,
+                                    layers=["natural"]).collect()}
+    assert res["at_rail"].tier == "none"
+    # default layers never surface the rank_address-0 feature
+    res = {r.point_id: r
+           for r in reverse_geocode(spark, aug, pts).collect()}
+    assert res["at_rail"].osm_id == 100000
