@@ -1471,11 +1471,18 @@ def geocode_structured(spark, idx: IndexTables, queries: DataFrame,
 
 def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
                 max_results: int = 10, epsilon: float = 0.5,
+                rerank: bool = False, rerank_locales=None,
+                rerank_addressline: DataFrame | None = None,
                 **kw) -> DataFrame:
     """Batch geocode returning the ranked result LIST per query with the
     reference's adaptive cut (T4 — geocoder.py:174-191): results worse
     than best-penalty + ``epsilon`` are dropped, then the list is capped
-    at ``max_results``.  Adds ``result_rank`` (1 = best)."""
+    at ``max_results``.  Adds ``result_rank`` (1 = best).
+
+    ``rerank=True`` applies the reference's difflib ``rerank_by_query``
+    pass (geocoder.py:213-248) over the final list — byte-parity word
+    matching via an Arrow-batched UDF that only ever sees the top-k rows
+    (see :mod:`nominatim_spark.pipeline.rerank`)."""
     all_hits = score_hits(spark, idx, queries, **kw)
     # a place can match through several assignments: keep its best row
     wp = Window.partitionBy("query_id", "place_id").orderBy(
@@ -1488,13 +1495,20 @@ def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
     wq = Window.partitionBy("query_id")
     worder = wq.orderBy("penalty", "text_dist", F.col("importance").desc(),
                         "place_id")
-    return (
+    out = (
         all_hits.withColumn("_best_pen", F.min("penalty").over(wq))
         .filter(F.col("penalty") <= F.col("_best_pen") + F.lit(epsilon))
         .withColumn("result_rank", F.row_number().over(worder))
         .filter(F.col("result_rank") <= max_results)
         .drop("_best_pen")
     )
+    if rerank:
+        from nominatim_spark.pipeline.rerank import rerank_by_query
+        out = rerank_by_query(
+            spark, idx, out, queries, locales=rerank_locales,
+            addressline=rerank_addressline,
+            text_col=kw.get("text_col", "qtext"))
+    return out
 
 
 def near_search(
