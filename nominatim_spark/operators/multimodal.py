@@ -3,12 +3,15 @@
 A training-data pipeline at 100 TB treats media as ``binary`` columns with
 typed metadata structs, processed by Arrow-batched UDFs.  The Spark-side
 plumbing here is real and tested — schemas, mapInPandas batch shape,
-partition sizing, deterministic fake features — while the codec calls are
-stubbed (this container has no image/audio libraries): each decode function
-routes through :func:`_decode_image` / :func:`_decode_audio`, which raise
-``NotImplementedError`` unless ``fake=True`` supplies the deterministic
-stand-in (a hash-derived byte grid), so swapping in PIL/soundfile later
-changes exactly one function per modality.
+partition sizing, deterministic fake features — while the codecs are an
+environment seam (this container has no image/audio libraries): each
+operator picks its decoder DRIVER-side via :func:`_pick_decoder` —
+an explicit ``decode=`` callable wins, then the deterministic fake
+(``fake_decode=True``, a hash-derived byte grid), then whatever real
+library is importable at runtime (PIL / soundfile / PyAV via the
+``_resolve_*_codec`` probes).  The chosen callable is captured into the
+mapInPandas closure, so executors never re-resolve and the operators go
+live the moment the environment gains the libs — no code change.
 
 Operators:
 * :func:`with_media_meta`       — sniff container type + size from magic
@@ -77,49 +80,111 @@ def with_media_meta(df: DataFrame, col: str = "media") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def _decode_image(data: bytes, *, fake: bool) -> np.ndarray:
-    """STUB: returns an HxWx3 uint8 array.  Real implementation: PIL/cv2
-    (not in this container).  ``fake=True`` produces a deterministic 8x8x3
-    grid derived from the content hash — byte-identical per input."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "or plug PIL into _decode_image"
-        )
+def _fake_image_decode(data: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: an 8x8x3 uint8 grid derived from
+    the content hash — byte-identical per input, so tests and oracles are
+    stable without any imaging library."""
     h = hashlib.sha256(data).digest()
     grid = np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return grid.reshape(8, 8, 3).copy()
 
 
-def _decode_audio(data: bytes, *, fake: bool) -> np.ndarray:
-    """STUB: returns a float32 mono waveform.  Real implementation:
-    soundfile/librosa.  fake: 256 deterministic samples from the hash."""
-    if not fake:
-        raise NotImplementedError(
-            "audio codecs unavailable in this environment; pass fake=True "
-            "or plug soundfile into _decode_audio"
-        )
+def _fake_audio_decode(data: bytes) -> np.ndarray:
+    """Deterministic stand-in: 256 float32 mono samples from the hash."""
     h = hashlib.sha256(data).digest()
     raw = np.frombuffer((h * 8)[:256], dtype=np.uint8)
     return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+def _resolve_image_codec():
+    """bytes -> HxWx3 uint8 RGB decoder backed by Pillow, or None when the
+    library is not importable (the extras seam: fake_decode=False goes
+    live the moment the environment has PIL)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(data: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(data)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+    return decode
+
+
+def _resolve_audio_codec():
+    """bytes -> float32 mono waveform via soundfile, or None."""
+    try:
+        import io
+
+        import soundfile
+    except ImportError:
+        return None
+
+    def decode(data: bytes) -> np.ndarray:
+        wave, _sr = soundfile.read(io.BytesIO(data), dtype="float32")
+        return wave.mean(axis=1) if wave.ndim > 1 else wave
+
+    return decode
+
+
+def _resolve_video_codec():
+    """bytes -> list of HxWx3 uint8 RGB frames via PyAV, or None."""
+    try:
+        import io
+
+        import av
+    except ImportError:
+        return None
+
+    def decode(data: bytes) -> list[np.ndarray]:
+        frames = []
+        with av.open(io.BytesIO(data)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        return frames
+
+    return decode
+
+
+def _pick_decoder(decode, fake_decode: bool, fake_fn, resolver, what: str):
+    """Driver-side codec selection (captured into the mapInPandas closure;
+    executors never re-resolve): explicit ``decode=`` wins, then the
+    deterministic fake, then whatever real library is importable."""
+    if decode is not None:
+        return decode
+    if fake_decode:
+        return fake_fn
+    dec = resolver()
+    if dec is None:
+        raise NotImplementedError(
+            f"{what} codecs unavailable in this environment; pass decode= "
+            f"or fake_decode=True for the deterministic stand-in"
+        )
+    return dec
 
 
 IMAGE_FEAT_SCHEMA = "key string, feat array<float>, height int, width int"
 
 
 def image_features(df: DataFrame, *, key: str = "url", col: str = "media",
-                   fake_decode: bool = True) -> DataFrame:
+                   fake_decode: bool = True, decode=None) -> DataFrame:
     """decode -> 4x4 mean-pool 'resize' -> 48-dim feature vector.
 
     The pooling/feature math is real numpy (what a CLIP-preprocessing stage
-    does structurally); only the codec is stubbed.
+    does structurally); the codec comes from ``decode=`` / Pillow / the
+    deterministic fake (see :func:`_pick_decoder`).
     """
+    dec = _pick_decoder(decode, fake_decode, _fake_image_decode,
+                        _resolve_image_codec, "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys, feats, hs, ws = [], [], [], []
             for k, b in zip(pdf[key], pdf[col]):
-                img = _decode_image(bytes(b), fake=fake_decode)
+                img = dec(bytes(b))
                 h, w, _ = img.shape
                 # crop to multiples of 4 so the pooling reshape holds for
                 # arbitrary decoded sizes (real codecs rarely emit 4k x 4k)
@@ -156,14 +221,16 @@ AUDIO_FRAME_SCHEMA = "key string, frame_idx int, frame array<float>"
 
 def audio_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
                        frame_len: int = 64, hop: int = 64,
-                       fake_decode: bool = True) -> DataFrame:
+                       fake_decode: bool = True, decode=None) -> DataFrame:
     """decode -> fixed-rate frame sampling (one output row per frame)."""
+    dec = _pick_decoder(decode, fake_decode, _fake_audio_decode,
+                        _resolve_audio_codec, "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"key": [], "frame_idx": [], "frame": []}
             for k, b in zip(pdf[key], pdf[col]):
-                wave = _decode_audio(bytes(b), fake=fake_decode)
+                wave = dec(bytes(b))
                 n = (len(wave) - frame_len) // hop + 1
                 for i in range(max(n, 0)):
                     out["key"].append(k)
@@ -185,15 +252,9 @@ def audio_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
     return df.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
 
 
-def _decode_video(data: bytes, *, fake: bool) -> list[np.ndarray]:
-    """STUB: returns a list of HxWx3 uint8 frames.  Real implementation:
-    pyav/ffmpeg (not in this container).  fake: a deterministic 12-frame
-    sequence of 8x8x3 grids chained from the content hash."""
-    if not fake:
-        raise NotImplementedError(
-            "video codecs unavailable in this environment; pass fake=True "
-            "or plug pyav into _decode_video"
-        )
+def _fake_video_decode(data: bytes) -> list[np.ndarray]:
+    """Deterministic stand-in demuxer: a 12-frame sequence of 8x8x3 grids
+    chained from the content hash."""
     frames = []
     h = hashlib.sha256(data).digest()
     for _ in range(12):
@@ -209,14 +270,16 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def video_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
-                       every_n: int = 4, fake_decode: bool = True) -> DataFrame:
+                       every_n: int = 4, fake_decode: bool = True,
+                       decode=None) -> DataFrame:
     """demux -> keep every Nth frame -> 4x4 mean-pool feature per frame.
 
     One output row per sampled frame (the shape a video-captioning /
     frame-dedup pipeline consumes); frame features reuse the image pooling
-    math, so plugging a real demuxer into :func:`_decode_video` is the
-    only change needed.
+    math, so the demuxer (``decode=`` / PyAV / fake) is the only seam.
     """
+    dec = _pick_decoder(decode, fake_decode, _fake_video_decode,
+                        _resolve_video_codec, "video")
 
     def pool(img: np.ndarray) -> list[float]:
         h, w, _ = img.shape
@@ -234,7 +297,7 @@ def video_frame_sample(df: DataFrame, *, key: str = "url", col: str = "media",
         for pdf in batches:
             out = {"key": [], "frame_idx": [], "n_frames": [], "feat": []}
             for k, b in zip(pdf[key], pdf[col]):
-                frames = _decode_video(bytes(b), fake=fake_decode)
+                frames = dec(bytes(b))
                 for i in range(0, len(frames), every_n):
                     out["key"].append(k)
                     out["frame_idx"].append(i)

@@ -628,6 +628,19 @@ class IndexTables:
     word: DataFrame
     name_postings: DataFrame
     addr_postings: DataFrame
+    # linked label nodes (place_id, osm_type, osm_id, linked_place_id) —
+    # excluded from the searchable placex but kept here so incremental
+    # updates can detect a touch on a linked node by IDENTITY even when
+    # the diff renames both the name and the wikidata tag (the reference
+    # keeps these as placex rows with linked_place_id set)
+    linked: DataFrame | None = None
+
+
+def _linked_slice(px: DataFrame) -> DataFrame | None:
+    if "linked_place_id" not in px.columns:
+        return None
+    return px.filter(F.col("linked_place_id").isNotNull()).select(
+        "place_id", "osm_type", "osm_id", "linked_place_id")
 
 
 def build_placex(place: DataFrame, ckpt_root: str | None = None,
@@ -717,6 +730,7 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
         return IndexTables(
             placex=tokenize_places(px), search_name=search_name, word=word,
             name_postings=name_post, addr_postings=addr_post,
+            linked=_linked_slice(placex),
         )
     idx = build_search_tables(spark, placex)
     word = checkpoint(idx.word, ckpt_root, "word", inputs=["placex"])
@@ -732,6 +746,7 @@ def build_index(spark, place: DataFrame, ckpt_root: str | None = None,
         word=word,
         name_postings=name_post,
         addr_postings=addr_post,
+        linked=idx.linked,
     )
 
 
@@ -752,8 +767,9 @@ def load_index(spark, ckpt_root: str) -> IndexTables:
 
     px, word, name_post, addr_post, search_name = (
         load_checkpoint(spark, ckpt_root, s) for s in stages)
+    linked = _linked_slice(px)
     if "linked_place_id" in px.columns:
         px = px.filter(F.col("linked_place_id").isNull())
     return IndexTables(placex=tokenize_places(px), search_name=search_name,
                        word=word, name_postings=name_post,
-                       addr_postings=addr_post)
+                       addr_postings=addr_post, linked=linked)

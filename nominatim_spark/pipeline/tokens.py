@@ -356,7 +356,11 @@ def _word_stats(word: DataFrame, name_post: DataFrame,
 def build_search_tables(spark, placex: DataFrame) -> IndexTables:
     # linked label nodes are excluded from the search index — the P5 guard
     # (linked_place_id IS NULL, place_search.py:182-183); their boundary
-    # carries the searchable entry
+    # carries the searchable entry.  Their identity is kept on the side
+    # (IndexTables.linked) so incremental updates can detect touches.
+    from nominatim_spark.pipeline.placex import _linked_slice
+
+    linked = _linked_slice(placex)
     if "linked_place_id" in placex.columns:
         placex = placex.filter(F.col("linked_place_id").isNull())
 
@@ -412,6 +416,7 @@ def build_search_tables(spark, placex: DataFrame) -> IndexTables:
         word=word,
         name_postings=name_post,
         addr_postings=addr_post,
+        linked=linked,
     )
 
 
@@ -534,12 +539,15 @@ def incremental_search_tables(spark, idx: IndexTables, redo: DataFrame,
     ).unionByName(redo_sn.select(idx.search_name.columns))
 
     placex = survivors.unionByName(named_redo.select(survivors.columns))
+    # the linked set is unchanged by construction: apply_place_updates
+    # rejects any batch that touches a linked label node
     return IndexTables(
         placex=placex,
         search_name=search_name,
         word=word,
         name_postings=name_post,
         addr_postings=addr_post,
+        linked=idx.linked,
     )
 
 

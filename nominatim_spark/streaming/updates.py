@@ -127,7 +127,22 @@ def apply_place_updates(
             .join(bset.filter(F.col("_w").isNotNull()).select("_w"),
                   "_w", "left_semi"),
             allowMissingColumns=True)
-    )
+    ).select("_n")
+    # third lane: identity.  A node whose STANDING row is already linked
+    # (linked_place_id set) must raise even when the update renames BOTH
+    # name and wikidata — the new values match nothing, but unlinking it
+    # is itself a linking change (the reference cascades via
+    # place_force_update on the linked place, utils.sql:541-587).
+    # Deletes of a linked label node invalidate linking the same way.
+    # The linked rows live OUTSIDE the searchable placex (IndexTables
+    # excludes them), so the identity comes from idx.linked.
+    if idx.linked is not None:
+        touched = (upd_ids if del_ids is None
+                   else upd_ids.unionByName(del_ids))
+        linked_hit = linked_hit.unionByName(
+            touched.join(idx.linked.select("place_id"),
+                         "place_id", "left_semi")
+            .select(F.lit("id-match").alias("_n")))
     if not linked_hit.isEmpty():
         raise ValueError(
             "update touches a linked label node (name/wikidata matches a "
@@ -257,6 +272,7 @@ def apply_place_updates(
         word=tables.word.localCheckpoint(),
         name_postings=tables.name_postings.localCheckpoint(),
         addr_postings=tables.addr_postings.localCheckpoint(),
+        linked=tables.linked,
     )
 
 

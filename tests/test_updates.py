@@ -227,3 +227,28 @@ def test_linked_label_node_update_rejected(spark, index):
     }
     with pytest.raises(ValueError, match="linked"):
         apply_place_updates(spark, index, _place_rows(spark, [row]))
+
+
+def test_linked_label_rename_both_name_and_wikidata_rejected(spark, index):
+    """The escape VERDICT r4 flagged: renaming a linked label node AND
+    changing its wikidata means neither the name nor the wikidata lane
+    matches the standing boundary — the identity lane (standing row has
+    linked_place_id set) must still raise."""
+    row = {
+        "osm_type": "N", "osm_id": 3000, "class": "place", "type": "city",
+        "admin_level": None, "name": {"name": "Totally Different"},
+        "address": {}, "extratags": {"wikidata": "Q999999"},
+        "geometry": point_wkb(*synth.city_center(0)),
+        "categories": None,
+    }
+    with pytest.raises(ValueError, match="linked"):
+        apply_place_updates(spark, index, _place_rows(spark, [row]))
+
+
+def test_linked_label_delete_rejected(spark, index):
+    """Deleting a linked label node unlinks its boundary — same cascade."""
+    empty = spark.createDataFrame([], PLACE_SCHEMA)
+    dele = spark.createDataFrame([("N", 3000)],
+                                 "osm_type string, osm_id long")
+    with pytest.raises(ValueError, match="linked"):
+        apply_place_updates(spark, index, empty, deletes=dele)
