@@ -49,7 +49,8 @@ def _load_index(spark, args):
     """Resume from a checkpoint root according to its import mode: a
     ``--synth`` import rebuilds the synthetic frames around the
     checkpoints; a ``--place`` import loads purely from parquet (its
-    osmline comes from the checkpoint too — never fabricated)."""
+    osmline and TIGER segments come from checkpoints too — never
+    fabricated).  Returns (idx, osmline, tiger)."""
     import os
 
     from nominatim_spark.io.checkpoint import has_checkpoint, load_checkpoint
@@ -58,13 +59,19 @@ def _load_index(spark, args):
     if marker.get("mode") == "synth":
         from nominatim_spark.plans.flagship import build_synth_index
 
-        return build_synth_index(spark, ckpt_root=args.index, resume=True)
+        idx, osmline = build_synth_index(spark, ckpt_root=args.index,
+                                         resume=True)
+        tiger = (load_checkpoint(spark, args.index, "tiger")
+                 if has_checkpoint(args.index, "tiger") else None)
+        return idx, osmline, tiger
     from nominatim_spark.pipeline.placex import load_index
 
     idx = load_index(spark, args.index)
     osmline = (load_checkpoint(spark, args.index, "osmline")
                if has_checkpoint(args.index, "osmline") else None)
-    return idx, osmline
+    tiger = (load_checkpoint(spark, args.index, "tiger")
+             if has_checkpoint(args.index, "tiger") else None)
+    return idx, osmline, tiger
 
 
 def _print_rows(df, fmt: str, idx=None) -> None:
@@ -133,7 +140,12 @@ def cmd_search(args) -> int:
     from nominatim_spark.pipeline.search import geocode
 
     spark = _get_spark(args)
-    idx, osmline = _load_index(spark, args)
+    idx, osmline, tiger = _load_index(spark, args)
+    if tiger is not None:
+        # TIGER segments are osmline-shaped: the housenumber range lane
+        # picks them up like OSM interpolations (tiger_data.py end state)
+        osmline = (tiger if osmline is None
+                   else osmline.select(tiger.columns).unionByName(tiger))
     q = spark.createDataFrame(
         [(str(i), t) for i, t in enumerate(args.query)],
         "query_id string, qtext string",
@@ -147,11 +159,11 @@ def cmd_reverse(args) -> int:
     from nominatim_spark.pipeline.reverse import reverse_geocode
 
     spark = _get_spark(args)
-    idx, osmline = _load_index(spark, args)
+    idx, osmline, tiger = _load_index(spark, args)
     pts = spark.createDataFrame(
         [(0, args.lon, args.lat)], "point_id long, lon double, lat double"
     )
-    res = reverse_geocode(spark, idx, pts, osmline=osmline)
+    res = reverse_geocode(spark, idx, pts, osmline=osmline, tiger=tiger)
     _print_rows(res, args.format, idx)
     return 0
 
@@ -160,8 +172,8 @@ def cmd_lookup(args) -> int:
     from nominatim_spark.pipeline.lookup import lookup_places
 
     spark = _get_spark(args)
-    idx, osmline = _load_index(spark, args)
-    res = lookup_places(spark, idx, args.refs, osmline=osmline)
+    idx, osmline, tiger = _load_index(spark, args)
+    res = lookup_places(spark, idx, args.refs, osmline=osmline, tiger=tiger)
     _print_rows(res, args.format, idx)
     return 0
 
@@ -170,10 +182,26 @@ def cmd_details(args) -> int:
     from nominatim_spark.pipeline.lookup import place_details
 
     spark = _get_spark(args)
-    idx, osmline = _load_index(spark, args)
-    res = place_details(spark, idx, args.refs, osmline=osmline)
+    idx, osmline, tiger = _load_index(spark, args)
+    res = place_details(spark, idx, args.refs, osmline=osmline, tiger=tiger)
     for row in res.toJSON().collect():
         print(row)
+    return 0
+
+
+def cmd_add_tiger(args) -> int:
+    """Attach TIGER address ranges to an imported index — the reference's
+    ``nominatim add-data --tiger-data`` (tools/tiger_data.py): segments
+    parent to existing streets and checkpoint as the ``tiger`` stage, so
+    search/reverse/lookup pick them up on every later load."""
+    from nominatim_spark.io.checkpoint import checkpoint
+    from nominatim_spark.sources.tiger import read_tiger_csv, tiger_osmline
+
+    spark = _get_spark(args)
+    idx, _osmline, _tiger = _load_index(spark, args)
+    segs = tiger_osmline(spark, read_tiger_csv(spark, args.csv), idx.placex)
+    segs = checkpoint(segs, args.index, "tiger", inputs=["placex"])
+    print(json.dumps({"tiger_segments": segs.count()}))
     return 0
 
 
@@ -183,7 +211,7 @@ def cmd_status(args) -> int:
     spark = _get_spark(args)
     idx = None
     if args.index:
-        idx, _ = _load_index(spark, args)
+        idx, _, _ = _load_index(spark, args)
     print(json.dumps(status(spark, idx)))
     return 0
 
@@ -232,6 +260,13 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("status", help="engine + index status")
     st.add_argument("--index")
     st.set_defaults(fn=cmd_status)
+
+    tg = sub.add_parser("add-tiger",
+                        help="attach TIGER address ranges to an index")
+    tg.add_argument("--csv", required=True,
+                    help="TIGER csv path or glob (';'-separated)")
+    tg.add_argument("--index", required=True)
+    tg.set_defaults(fn=cmd_add_tiger)
     return p
 
 

@@ -55,12 +55,15 @@ def _norm_refs(spark, refs) -> DataFrame:
 
 def lookup_places(spark, idx: IndexTables, refs,
                   osmline: DataFrame | None = None,
-                  postcodes: DataFrame | None = None) -> DataFrame:
+                  postcodes: DataFrame | None = None,
+                  tiger: DataFrame | None = None) -> DataFrame:
     """Resolve place refs (place_id or osm ref) to place rows — the
     /lookup endpoint (get_places, lookup.py:177-193).  Cascade:
-    placex → interpolation lines → postcode rows; first hit wins, rows
-    with no hit are absent from the result (the reference drops them the
-    same way)."""
+    placex → interpolation lines → postcode rows → TIGER segments
+    (find_in_tiger, lookup.py:353-378 — by place_id only, the parent
+    street supplies the osm object); first hit wins, rows with no hit
+    are absent from the result (the reference drops them the same
+    way)."""
     r = _norm_refs(spark, refs)
 
     px = idx.placex
@@ -103,6 +106,34 @@ def lookup_places(spark, idx: IndexTables, refs,
             .alias("_b")
         ).select("ref_id", "_b.*")
         hits = hits.unionByName(line_hits, allowMissingColumns=True)
+
+    if tiger is not None:
+        missing = r.join(hits.select("ref_id"), "ref_id", "left_anti")
+        street_osm = px.select(
+            F.col("place_id").alias("parent_place_id"),
+            F.col("osm_type").alias("_p_ot"),
+            F.col("osm_id").alias("_p_oi"),
+        )
+        tiger_hits = (
+            missing.filter(F.col("place_id").isNotNull())
+            .select("ref_id", "place_id")
+            .join(tiger.select(
+                F.col("osmline_id").alias("place_id"),
+                F.col("mid_lon").alias("lon"),
+                F.col("mid_lat").alias("lat"),
+                "parent_place_id",
+            ), "place_id")
+            .join(street_osm, "parent_place_id", "left")
+            .withColumn("osm_type", F.col("_p_ot"))
+            .withColumn("osm_id", F.col("_p_oi"))
+            .withColumn("class", F.lit("place"))
+            .withColumn("type", F.lit("houses"))
+            .withColumn("rank_search", F.lit(30))
+            .withColumn("rank_address", F.lit(30))
+            .withColumn("country_code", F.lit("us"))
+            .drop("_p_ot", "_p_oi")
+        )
+        hits = hits.unionByName(tiger_hits, allowMissingColumns=True)
     return hits
 
 

@@ -166,6 +166,7 @@ def reverse_geocode(
     point_key: str = "point_id",
     max_rank: int = 30,
     osmline: DataFrame | None = None,
+    tiger: DataFrame | None = None,
     layers: list[str] | None = None,
 ) -> DataFrame:
     """points(point_id, lon, lat) -> best place per point.
@@ -176,6 +177,12 @@ def reverse_geocode(
     'manmade'.  Feature layers search named rank_address-0 places within
     0.007 deg (reverse.py _lookup_area_others:461-489); the country
     fallback only answers for the address layer (lookup(): 633).
+
+    ``tiger``: osmline-shaped TIGER segments (sources.tiger.tiger_osmline).
+    Consulted only for street winners in the US with no OSM housenumber
+    nearby (reverse.py:365-374 + _find_tiger_number_for_street:293-320);
+    an OSM interpolation still wins over a TIGER match, and TIGER results
+    keep the street's osm object (create_from_tiger_row, results.py:370).
     """
     layers = [ly.lower() for ly in (layers or DEFAULT_LAYERS)]
     has_addr = "address" in layers
@@ -199,17 +206,19 @@ def reverse_geocode(
         F.col("dist2") <= MAX_STREET_DIST_DEG ** 2
     ).join(
         placex.select(F.col("place_id").alias("cand_id"),
-                      F.col("rank_address").alias("_t1_ra")),
+                      F.col("rank_address").alias("_t1_ra"),
+                      F.col("country_code").alias("_t1_cc")),
         "cand_id",
-    ).select(point_key, F.col("cand_id").alias("t1_place"), "_t1_ra")
+    ).select(point_key, F.col("cand_id").alias("t1_place"),
+             "_t1_ra", "_t1_cc")
 
     # ---- tier 1 refinement: street winner -> housenumber point or
     # interpolation segment of that street (reverse.py:242-320,:322-389)
-    house_ref = interp_ref = None
+    house_ref = interp_ref = tiger_ref = None
     if max_rank > 27 and has_addr:
         streets = (
             t1.filter(F.col("_t1_ra").between(26, 27))
-            .select(point_key, F.col("t1_place").alias("_street"))
+            .select(point_key, F.col("t1_place").alias("_street"), "_t1_cc")
             .join(pts, point_key)
         )
         houses = placex.filter(
@@ -262,6 +271,36 @@ def reverse_geocode(
                     "struct(_id2, osmline_id))"
                 ).alias("_i"))
             )
+        if tiger is not None:
+            # US-only TIGER fallback (reverse.py:365-374): closest TIGER
+            # segment of the winning street within the house radius, with
+            # the same interpolated-housenumber math as osmline
+            tlines = tiger.select(
+                F.col("parent_place_id").alias("_street"),
+                F.col("osmline_id").alias("_t_id"),
+                "startnumber", "endnumber", "step", "geometry",
+            )
+            tln = _line_near_udf()("geometry", "lon", "lat")
+            tiger_ref = (
+                streets.filter(F.col("_t1_cc") == "us")
+                .join(tlines, "_street")
+                .withColumn("_ln", tln)
+                .filter(F.col("_ln.dist2") <= HOUSE_DIST_DEG ** 2)
+                .select(
+                    point_key, "_t_id",
+                    F.col("_street").alias("_t_street"),
+                    F.col("_ln.dist2").alias("_td2"),
+                    (F.col("startnumber") + F.floor(
+                        (F.col("endnumber") - F.col("startnumber"))
+                        * F.col("_ln.frac") / F.col("step") + 0.5
+                    ).cast("int") * F.col("step")).alias("_t_hnr"),
+                )
+                .groupBy(point_key)
+                .agg(F.expr(
+                    "min_by(struct(_t_id, _t_street, _t_hnr, _td2), "
+                    "struct(_td2, _t_id))"
+                ).alias("_t"))
+            )
 
     t1r = t1.select(point_key, "t1_place")
     t1r = (t1r.join(house_ref, point_key, "left") if house_ref is not None
@@ -271,25 +310,38 @@ def reverse_geocode(
            else t1r.withColumn("_i", F.lit(None).cast(
                "struct<osmline_id:long,way_id:long,_i_hnr:int,"
                "_id2:double>")))
+    t1r = (t1r.join(tiger_ref, point_key, "left") if tiger_ref is not None
+           else t1r.withColumn("_t", F.lit(None).cast(
+               "struct<_t_id:long,_t_street:long,_t_hnr:int,_td2:double>")))
     # the interpolation wins only when strictly closer than the chosen
-    # housenumber (or the 0.001 street refine radius)
+    # housenumber (or the 0.001 street refine radius); TIGER answers only
+    # when neither an OSM housenumber nor an interpolation matched
+    # (hnr_distance is None + the later interpolation override, :365-389)
     use_interp = (
         F.col("_i").isNotNull()
         & (F.col("_i._id2")
            < F.coalesce(F.col("_h._hd2"), F.lit(HOUSE_DIST_DEG ** 2)))
     )
+    use_tiger = (
+        ~F.coalesce(use_interp, F.lit(False))
+        & F.col("_h").isNull() & F.col("_t").isNotNull()
+    )
     t1r = t1r.select(
         point_key,
         F.when(use_interp, F.col("_i.osmline_id"))
         .when(F.col("_h").isNotNull(), F.col("_h._h_id"))
+        .when(use_tiger, F.col("_t._t_id"))
         .otherwise(F.col("t1_place")).alias("t1_place"),
         F.when(use_interp, F.col("_i._i_hnr").cast("string"))
         .when(F.col("_h").isNotNull(), F.col("_h._h_hnr"))
+        .when(use_tiger, F.col("_t._t_hnr").cast("string"))
         .alias("t1_hnr"),
         F.when(use_interp, F.lit("interpolation"))
         .when(F.col("_h").isNotNull(), F.lit("house"))
+        .when(use_tiger, F.lit("tiger"))
         .otherwise(F.lit("street_poi")).alias("t1_kind"),
         F.when(use_interp, F.col("_i.way_id")).alias("_i_way"),
+        F.when(use_tiger, F.col("_t._t_street")).alias("_t_street"),
     )
 
     # ---- tier 2: deepest containing area (distributed PiP cover join —
@@ -451,22 +503,35 @@ def reverse_geocode(
         "rank_search", "rank_address", "country_code",
     )
     out = out.join(info, "place_id", "left")
-    # interpolation winners live outside placex: fill their attributes
-    # (create_from_osmline_row shape)
+    # interpolation/TIGER winners live outside placex: fill their
+    # attributes (create_from_osmline_row / create_from_tiger_row shapes —
+    # a TIGER result keeps the parent STREET's osm object, results.py:386)
     is_interp = F.col("tier") == "interpolation"
+    is_tiger = F.col("tier") == "tiger"
+    street_osm = placex.select(
+        F.col("place_id").alias("_t_street"),
+        F.col("osm_type").alias("_ts_type"),
+        F.col("osm_id").alias("_ts_id"),
+    )
+    out = out.join(street_osm, "_t_street", "left")
     out = (
         out.withColumn("osm_type", F.when(is_interp, "W")
+                       .when(is_tiger, F.col("_ts_type"))
                        .otherwise(F.col("osm_type")))
         .withColumn("osm_id", F.when(is_interp, F.col("_i_way"))
+                    .when(is_tiger, F.col("_ts_id"))
                     .otherwise(F.col("osm_id")))
-        .withColumn("class", F.when(is_interp, "place")
+        .withColumn("class", F.when(is_interp | is_tiger, "place")
                     .otherwise(F.col("class")))
         .withColumn("type", F.when(is_interp, "houses")
+                    .when(is_tiger, "house")
                     .otherwise(F.col("type")))
-        .withColumn("rank_search", F.when(is_interp, 30)
+        .withColumn("rank_search", F.when(is_interp | is_tiger, 30)
                     .otherwise(F.col("rank_search")))
-        .withColumn("rank_address", F.when(is_interp, 30)
+        .withColumn("rank_address", F.when(is_interp | is_tiger, 30)
                     .otherwise(F.col("rank_address")))
-        .drop("_i_way")
+        .withColumn("country_code", F.when(is_tiger, "us")
+                    .otherwise(F.col("country_code")))
+        .drop("_i_way", "_t_street", "_ts_type", "_ts_id")
     )
     return out

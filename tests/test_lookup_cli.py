@@ -122,7 +122,7 @@ def test_cli_place_import_no_fabricated_osmline(spark, index, tmp_path,
     assert rc == 0 and out["imported"] > 0
 
     args = argparse.Namespace(index=ckpt, cpus=4)
-    idx2, osmline2 = _load_index(spark, args)
+    idx2, osmline2, _tiger2 = _load_index(spark, args)
     assert osmline2 is None  # nothing fabricated for a --place import
     assert idx2.search_name.count() == out["searchable"]
 
@@ -151,3 +151,39 @@ def test_geocodejson_format(spark, index, capsys):
     assert g["type"] == "street" and g["osm_type"] == "way"
     assert g["label"] == "Birch Street"
     assert feat["geometry"]["type"] == "Point"
+
+
+def test_cli_add_tiger_then_lookup(spark, index, tmp_path, capsys):
+    """`add-tiger` checkpoints parented TIGER segments on the index root;
+    later CLI loads thread them into search/reverse/lookup (the
+    reference's `nominatim add-data --tiger-data`, tools/tiger_data.py +
+    find_in_tiger, lookup.py:353-378)."""
+    from nominatim_spark.cli import main
+
+    _, _, ckpt = index
+    cx, cy = synth.city_center(0)
+    y = cy - 0.1
+    csv = tmp_path / "tiger_cli.csv"
+    csv.write_text(
+        "from;to;interpolation;street;city;state;postcode;geometry\n"
+        f"200;220;even;Birch Street;Vels;CV;47000;"
+        f"LINESTRING({cx - 0.05} {y + 0.001},{cx + 0.05} {y + 0.001})\n"
+    )
+    rc = main(["add-tiger", "--csv", str(csv), "--index", ckpt])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["tiger_segments"] == 1
+
+    # the TIGER range resolves through the search housenumber lane
+    rc = main(["search", f"Birch Street 210, {synth.city_name(0)}",
+               "--index", ckpt])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rc == 0 and doc["type"] == "houses"
+
+    # /lookup by the segment's synthetic place id (find_in_tiger)
+    from nominatim_spark.io.checkpoint import load_checkpoint
+
+    seg = load_checkpoint(spark, ckpt, "tiger").head()
+    rc = main(["lookup", str(seg.osmline_id), "--index", ckpt])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rc == 0 and doc["type"] == "houses"
+    assert doc["osm_type"] == "way"  # parent street's osm object

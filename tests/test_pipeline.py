@@ -446,3 +446,90 @@ def test_reverse_feature_layer(spark, index):
     res = {r.point_id: r
            for r in reverse_geocode(spark, aug, pts).collect()}
     assert res["at_rail"].osm_id == 100000
+
+
+def test_reverse_tiger_refinement(spark, tmp_path):
+    """US street winner with no OSM housenumber nearby refines to the
+    closest TIGER segment of that street (reverse.py:365-374 +
+    _find_tiger_number_for_street:293-320); a non-US street never
+    consults TIGER, and an OSM interpolation still beats the TIGER row."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.wkb import linestring_wkb, polygon_wkb
+    from nominatim_spark.pipeline.placex import build_index
+    from nominatim_spark.sources.synth import PLACE_SCHEMA
+    from nominatim_spark.sources.tiger import read_tiger_csv, tiger_osmline
+
+    rows = [
+        {"osm_type": "R", "osm_id": 1, "class": "boundary",
+         "type": "administrative", "admin_level": 2,
+         "name": {"name": "United States"}, "address": {"country": "us"},
+         "extratags": {},
+         "geometry": polygon_wkb(
+             [(-101.0, 39.0), (-99.0, 39.0), (-99.0, 41.0),
+              (-101.0, 41.0), (-101.0, 39.0)]),
+         "categories": None},
+        {"osm_type": "R", "osm_id": 2, "class": "boundary",
+         "type": "administrative", "admin_level": 2,
+         "name": {"name": "France"}, "address": {"country": "fr"},
+         "extratags": {},
+         "geometry": polygon_wkb(
+             [(8.0, 47.0), (10.0, 47.0), (10.0, 49.0),
+              (8.0, 49.0), (8.0, 47.0)]),
+         "categories": None},
+        {"osm_type": "W", "osm_id": 500, "class": "highway",
+         "type": "residential", "admin_level": None,
+         "name": {"name": "Main Street"}, "address": {}, "extratags": {},
+         "geometry": linestring_wkb([(-100.05, 40.0), (-99.95, 40.0)]),
+         "categories": None},
+        {"osm_type": "W", "osm_id": 600, "class": "highway",
+         "type": "residential", "admin_level": None,
+         "name": {"name": "Main Street"}, "address": {}, "extratags": {},
+         "geometry": linestring_wkb([(8.95, 48.0), (9.05, 48.0)]),
+         "categories": None},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = pd.Series(
+        [r.get("admin_level") for r in rows], dtype=object)
+    place = spark.createDataFrame(pdf, schema=PLACE_SCHEMA)
+    idx = build_index(spark, place, ckpt_root=str(tmp_path / "us_idx"))
+
+    csv = tmp_path / "tiger_rev.csv"
+    csv.write_text(
+        "from;to;interpolation;street;city;state;postcode;geometry\n"
+        "2;8;even;Main Street;Kay;KS;66000;"
+        "LINESTRING(-100.05 40.0005,-99.95 40.0005)\n"
+        "2;8;even;Main Street;Nulleville;FR;75000;"
+        "LINESTRING(8.95 48.0005,9.05 48.0005)\n"
+    )
+    tlines = tiger_osmline(spark, read_tiger_csv(spark, str(csv)),
+                           idx.placex)
+    pts = spark.createDataFrame(
+        [("us_pt", -100.0, 40.0006), ("fr_pt", 9.0, 48.0006)],
+        "point_id string, lon double, lat double",
+    )
+    res = {r.point_id: r for r in reverse_geocode(
+        spark, idx, pts, tiger=tlines).collect()}
+    assert res["us_pt"].tier == "tiger"
+    # frac 0.5 along 2..8 step 2 -> 2 + round(1.5)*2 = 6
+    assert res["us_pt"].housenumber == "6"
+    # TIGER keeps the parent street's osm object (results.py:386)
+    assert (res["us_pt"].osm_type, res["us_pt"].osm_id) == ("W", 500)
+    assert res["us_pt"]["type"] == "house"
+    assert res["us_pt"].country_code == "us"
+    # the same TIGER shape near a French street is never consulted
+    assert res["fr_pt"].tier == "street_poi"
+    assert res["fr_pt"].osm_id == 600
+
+    # an OSM interpolation of the street overrides the TIGER answer
+    osmline = spark.createDataFrame(
+        [(9901, 7700, 500 * 4 + 1, 21, 29, 2,
+          bytearray(linestring_wkb([(-100.05, 40.0004),
+                                    (-99.95, 40.0004)])))],
+        "osmline_id long, way_id long, parent_place_id long, "
+        "startnumber int, endnumber int, step int, geometry binary",
+    )
+    res = {r.point_id: r for r in reverse_geocode(
+        spark, idx, pts, tiger=tlines, osmline=osmline).collect()}
+    assert res["us_pt"].tier == "interpolation"
+    assert res["us_pt"].housenumber == "25"
