@@ -1384,6 +1384,163 @@ def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ registry
 
+def q_locale_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accept-language display-name selection (the reference's Locales,
+    localization.py:16-120): customers carry a synthetic multilingual
+    name map; the Locales coalesce kernel — the SAME expression the API
+    output path uses — picks per the caller's q-weighted priority list
+    ('fr;q=0.8,de' -> de first, then fr, then the default tag)."""
+    from nominatim_spark.pipeline.localization import Locales
+
+    cust = load(spark, sf_dir, "customer")
+    named = cust.withColumn(
+        "name",
+        F.expr(
+            "map_filter(map("
+            "'name', c_name, "
+            "'name:de', CASE WHEN c_custkey % 3 = 0 "
+            "THEN 'DE ' || c_name END, "
+            "'_place_name:fr', CASE WHEN c_custkey % 5 = 0 "
+            "THEN 'FR ' || c_name END"
+            "), (k, v) -> v IS NOT NULL)"
+        ),
+    )
+    loc = Locales.from_accept_languages("fr;q=0.8,de")
+    return named.select(
+        "c_custkey", loc.display_name_expr("name").alias("locale_name"))
+
+
+Q_LOCALE_SQL = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_custkey % 3 = 0 THEN 'DE ' || c_name END,
+                CASE WHEN c_custkey % 5 = 0 THEN 'FR ' || c_name END,
+                c_name) AS locale_name
+FROM customer
+"""
+
+
+def q_geom_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry output serialization (polygon_geojson, v1/helpers.py:76-82
+    / serialize.py): per-nation bbox ring -> polygon WKB -> the
+    PRODUCTION GeoJSON serializer -> parsed ring coordinates.  The oracle
+    computes the corner sequence independently, so a mismatch anywhere in
+    the WKB build / serialize / parse round-trip surfaces."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.serialize import serialize_wkb
+    from nominatim_spark.geometry.wkb import polygon_wkb
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat")
+    boxes = pts.groupBy("c_nationkey").agg(
+        F.round(F.min("lon"), 5).alias("minx"),
+        F.round(F.min("lat"), 5).alias("miny"),
+        F.round(F.max("lon"), 5).alias("maxx"),
+        F.round(F.max("lat"), 5).alias("maxy"),
+    )
+
+    @F.pandas_udf("string")
+    def to_gj(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+              maxy: pd.Series) -> pd.Series:
+        return pd.Series([
+            serialize_wkb(polygon_wkb(
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]),
+                "geojson")
+            for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy)
+        ])
+
+    parsed = boxes.withColumn(
+        "_g",
+        F.from_json(to_gj("minx", "miny", "maxx", "maxy"),
+                    "type string, coordinates array<array<array<double>>>"),
+    )
+    return parsed.select(
+        "c_nationkey",
+        F.posexplode(F.col("_g.coordinates").getItem(0)),
+    ).select(
+        "c_nationkey", F.col("pos").alias("pt_idx"),
+        F.col("col").getItem(0).alias("lon"),
+        F.col("col").getItem(1).alias("lat"),
+    )
+
+
+Q_GEOM_SQL = f"""
+WITH pts AS (
+  SELECT c_nationkey, {sg.CUST_LON} AS lon, {sg.CUST_LAT} AS lat
+  FROM customer),
+b AS (
+  SELECT c_nationkey,
+         ROUND(MIN(lon), 5) AS minx, ROUND(MIN(lat), 5) AS miny,
+         ROUND(MAX(lon), 5) AS maxx, ROUND(MAX(lat), 5) AS maxy
+  FROM pts GROUP BY c_nationkey)
+SELECT c_nationkey, i AS pt_idx,
+       CASE i WHEN 0 THEN minx WHEN 1 THEN maxx WHEN 2 THEN maxx
+              WHEN 3 THEN minx ELSE minx END AS lon,
+       CASE i WHEN 0 THEN miny WHEN 1 THEN miny WHEN 2 THEN maxy
+              WHEN 3 THEN maxy ELSE miny END AS lat
+FROM b CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS i) u
+"""
+
+
+def q_postcode_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-country postcode interpretation (round-5 —
+    postcode_parser.py:72-110 keeps EVERY country's reading of an
+    un-prefixed code): synthetic digit codes of three shapes join the
+    161-pattern dimension; all matching countries are kept per code, the
+    engine's pc_all shape.  The broadcast nested-loop against the tiny
+    dim is the scale path — candidate volume never fans out."""
+    from nominatim_spark.pipeline.postcodes import postcode_dim
+
+    cust = load(spark, sf_dir, "customer")
+    codes = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lpad(((F.col("c_custkey") * 7919) % 10000)
+                   .cast("string"), 4, "0"),
+        ).when(
+            F.col("c_custkey") % 3 == 1,
+            F.lpad(((F.col("c_custkey") * 7919) % 100000)
+                   .cast("string"), 5, "0"),
+        ).otherwise(
+            F.lpad(((F.col("c_custkey") * 131) % 10000000)
+                   .cast("string"), 7, "0"),
+        ).alias("code"),
+    )
+    dim = F.broadcast(postcode_dim(spark))
+    hits = codes.join(dim, F.expr("code rlike _pc_rx"))
+    return hits.groupBy("c_custkey", "code").agg(
+        F.sort_array(F.collect_set("country_code")).alias("countries"),
+        F.countDistinct("country_code").alias("n_readings"),
+    )
+
+
+def _q_postcode_multi_sql() -> str:
+    from nominatim_spark.pipeline.postcodes import jvm_postcode_rules
+
+    values = ",\n  ".join(
+        f"('{cc}', '{rx}')" for cc, rx, _out in jvm_postcode_rules()
+    )
+    return f"""
+WITH dim(country_code, rx) AS (VALUES
+  {values}),
+codes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
+              WHEN c_custkey % 3 = 1
+              THEN lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0')
+              ELSE lpad(CAST((c_custkey * 131) % 10000000 AS VARCHAR), 7, '0')
+         END AS code
+  FROM customer)
+SELECT c_custkey, code,
+       list_sort(list(DISTINCT country_code)) AS countries,
+       COUNT(DISTINCT country_code) AS n_readings
+FROM codes JOIN dim ON regexp_full_match(code, rx)
+GROUP BY c_custkey, code
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "top_orders_join": (q_top_orders, Q_TOP_ORDERS_SQL),
@@ -1422,6 +1579,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "collect_sorted": (q_collect_sorted, Q_COLLECT_SQL),
     "addr_ladder_fold": (q_addr_ladder_fold, Q_ADDR_LADDER_SQL),
     "postcode_normalize_jvm": (q_postcode_normalize, Q_POSTCODE_NORM_SQL),
+    "locale_pick": (q_locale_pick, Q_LOCALE_SQL),
+    "geom_geojson_roundtrip": (q_geom_geojson, Q_GEOM_SQL),
+    "postcode_multi_country": (q_postcode_multi, _q_postcode_multi_sql()),
     "geocode_pages_e2e": (q_geocode_pages, None),
     "reverse_geocode_e2e": (q_reverse_geocode, None),
     "incremental_update_e2e": (q_incremental_update, None),
