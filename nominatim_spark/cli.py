@@ -74,7 +74,8 @@ def _load_index(spark, args):
     return idx, osmline, tiger
 
 
-def _print_rows(df, fmt: str, idx=None) -> None:
+def _print_rows(df, fmt: str, idx=None,
+                addressdetails: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from nominatim_spark.functions.format import to_geojson_col, to_json_col
@@ -99,10 +100,19 @@ def _print_rows(df, fmt: str, idx=None) -> None:
         df = df.withColumn("importance", F.lit(0.0))
     if fmt == "geocodejson":
         from nominatim_spark.functions.format import (
-            geocodejson_envelope, to_geocodejson_col)
+            geocodejson_envelope, to_geocodejson_col,
+            with_geocodejson_address)
 
+        if addressdetails and idx is not None:
+            from nominatim_spark.pipeline.addressline import (
+                build_place_addressline)
+
+            al = build_place_addressline(df.sparkSession, idx.placex,
+                                         points=df)
+            df = with_geocodejson_address(df, idx.placex, al)
         feats = [r.result_geocodejson
-                 for r in to_geocodejson_col(df)
+                 for r in to_geocodejson_col(
+                     df, addressdetails=addressdetails)
                  .select("result_geocodejson").collect()]
         print(geocodejson_envelope(feats))
         return
@@ -151,7 +161,8 @@ def cmd_search(args) -> int:
         "query_id string, qtext string",
     )
     res = geocode(spark, idx, q, osmline=osmline)
-    _print_rows(res, args.format, idx)
+    _print_rows(res, args.format, idx,
+                addressdetails=getattr(args, 'addressdetails', False))
     return 0
 
 
@@ -164,7 +175,8 @@ def cmd_reverse(args) -> int:
         [(0, args.lon, args.lat)], "point_id long, lon double, lat double"
     )
     res = reverse_geocode(spark, idx, pts, osmline=osmline, tiger=tiger)
-    _print_rows(res, args.format, idx)
+    _print_rows(res, args.format, idx,
+                addressdetails=getattr(args, 'addressdetails', False))
     return 0
 
 
@@ -174,7 +186,8 @@ def cmd_lookup(args) -> int:
     spark = _get_spark(args)
     idx, osmline, tiger = _load_index(spark, args)
     res = lookup_places(spark, idx, args.refs, osmline=osmline, tiger=tiger)
-    _print_rows(res, args.format, idx)
+    _print_rows(res, args.format, idx,
+                addressdetails=getattr(args, 'addressdetails', False))
     return 0
 
 
@@ -235,6 +248,8 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--format",
                        choices=("json", "geojson", "geocodejson"),
                        default="json")
+        s.add_argument("--addressdetails", action="store_true",
+                       help="geocodejson: ancestor labels + admin levels")
         s.set_defaults(fn=fn)
 
     r = sub.add_parser("reverse", help="reverse geocode a point")
@@ -243,6 +258,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--index", required=True)
     r.add_argument("--format", choices=("json", "geojson", "geocodejson"),
                    default="json")
+    r.add_argument("--addressdetails", action="store_true")
     r.set_defaults(fn=cmd_reverse)
 
     lk = sub.add_parser("lookup", help="resolve osm refs / place ids")
@@ -250,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--index", required=True)
     lk.add_argument("--format", choices=("json", "geojson", "geocodejson"),
                     default="json")
+    lk.add_argument("--addressdetails", action="store_true")
     lk.set_defaults(fn=cmd_lookup)
 
     dt = sub.add_parser("details", help="place details with address chain")

@@ -111,14 +111,95 @@ def _geocodejson_rank_label() -> Column:
     return expr.otherwise("house")
 
 
+_GEOCODEJSON_ADDR_LABELS = (
+    "country", "state", "county", "city", "district", "locality", "street",
+)
+
+
+def with_geocodejson_address(results: DataFrame, placex: DataFrame,
+                             addressline: DataFrame,
+                             locales=None) -> DataFrame:
+    """Attach the geocodejson ``addressdetails`` columns (the reference's
+    ``_write_geocodejson_address`` + the admin block,
+    format_json.py:45-66,284-294): per result a rank-label → localized
+    ancestor name map (isaddress rows of rank_address 4..27, excluding
+    the result row itself; first hit per label wins by rank desc like the
+    reference's sorted-iteration dedup), a ``levelN`` → name admin map
+    for administrative-boundary ancestors below level 15, and the
+    ancestor postcode when one rides the chain.  All JVM aggregation —
+    one join against the addressline table, scales with the response."""
+    from nominatim_spark.pipeline.localization import DEFAULT_LOCALES
+
+    loc = locales or DEFAULT_LOCALES
+    anc = placex.select(
+        F.col("place_id").alias("address_place_id"),
+        loc.display_name_expr("name").alias("_an"),
+        F.col("admin_level").alias("_alvl"),
+        F.col("class").alias("_acls"),
+        F.col("type").alias("_atyp"),
+        F.col("rank_address").alias("_ara"),
+    )
+    rows = (
+        addressline.filter(F.col("isaddress"))
+        .filter(F.col("address_place_id") != F.col("place_id"))
+        .join(anc, "address_place_id")
+        .filter(F.col("_an").isNotNull())
+    )
+    r = F.greatest(F.lit(3), F.least(F.lit(28), F.col("_ara")))
+    label = F.when(r == 3, "locality")
+    for hi, lab in _GEOCODEJSON_RANKS:
+        label = label.when(r <= hi, lab)
+    label = label.otherwise("house")
+
+    addr = (
+        rows.filter(F.col("_ara").between(4, 27))
+        .withColumn("_lab", label)
+        .groupBy("place_id", "_lab")
+        .agg(F.expr("min_by(_an, struct(-_ara, _an))").alias("_nm"))
+        .groupBy("place_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("_lab", "_nm"))).alias("_gcj_addr"))
+    )
+    admin = (
+        rows.filter(
+            (F.col("_acls") == "boundary")
+            & (F.col("_atyp") == "administrative")
+            & (F.coalesce(F.col("_alvl"), F.lit(15)) < 15)
+        )
+        .withColumn("_lab", F.concat(F.lit("level"),
+                                     F.col("_alvl").cast("int")))
+        .groupBy("place_id", "_lab")
+        .agg(F.expr("min_by(_an, struct(-_ara, _an))").alias("_nm"))
+        .groupBy("place_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("_lab", "_nm"))).alias("_gcj_admin"))
+    )
+    pc = (
+        rows.filter(F.col("_atyp").isin("postcode", "postal_code"))
+        .groupBy("place_id")
+        .agg(F.min("_an").alias("_gcj_postcode"))
+    )
+    if "country_code" not in results.columns:
+        results = results.join(
+            placex.select("place_id", "country_code"), "place_id", "left")
+    return (results.join(addr, "place_id", "left")
+            .join(admin, "place_id", "left")
+            .join(pc, "place_id", "left"))
+
+
 def to_geocodejson_col(df: DataFrame,
-                       out: str = "result_geocodejson") -> DataFrame:
+                       out: str = "result_geocodejson",
+                       addressdetails: bool = False) -> DataFrame:
     """geocodejson Feature per result (format_json.py:244-311
     format_base_geocodejson): properties.geocoding carries place_id, the
     osm ref, osm_key/osm_value, the rank-derived 'type' label, and the
     display label; geometry = centroid Point.  Wrap the collected rows
-    with :func:`geocodejson_envelope` for the FeatureCollection."""
-    geocoding = F.struct(
+    with :func:`geocodejson_envelope` for the FeatureCollection.
+
+    ``addressdetails=True`` (after :func:`with_geocodejson_address`)
+    flattens the ancestor labels into the geocoding object and nests the
+    ``admin`` level map, exactly like the reference's option."""
+    fields = [
         F.col("place_id"),
         F.concat(F.lower(F.col("osm_type")),
                  F.col("osm_id").cast("string")).alias("osm_id"),
@@ -127,7 +208,22 @@ def to_geocodejson_col(df: DataFrame,
         F.col("type").alias("osm_value"),
         _geocodejson_rank_label().alias("type"),
         F.col("display_name").alias("label"),
-    )
+    ]
+    if addressdetails:
+        if "housenumber" in df.columns:
+            fields.append(F.col("housenumber"))
+        fields.append(F.coalesce(
+            F.col("_gcj_postcode") if "_gcj_postcode" in df.columns
+            else F.lit(None).cast("string"),
+            F.col("postcode") if "postcode" in df.columns
+            else F.lit(None).cast("string"),
+        ).alias("postcode"))
+        for lab in _GEOCODEJSON_ADDR_LABELS:
+            fields.append(F.col("_gcj_addr").getItem(lab).alias(lab))
+        if "country_code" in df.columns:
+            fields.append(F.col("country_code"))
+        fields.append(F.col("_gcj_admin").alias("admin"))
+    geocoding = F.struct(*fields)
     geom = (_geometry_json() if "geometry_geojson" in df.columns
             else _point_geojson_col())
     return df.withColumn(

@@ -23,10 +23,19 @@ from pyspark.sql import functions as F
 from nominatim_spark.operators.spatial import point_in_polygon_join_dist
 
 
-def build_place_addressline(spark, placex: DataFrame) -> DataFrame:
+def build_place_addressline(spark, placex: DataFrame,
+                            points: DataFrame | None = None) -> DataFrame:
     """placex -> place_addressline rows (distributed PiP cover join — the
     ancestor-area table scales with the planet, nothing reaches the
-    driver; rank/centroid attrs ride the join as carry columns)."""
+    driver; rank/centroid attrs ride the join as carry columns).
+
+    ``points``: optional (place_id) frame restricting the POINT side to a
+    response's rows, so an API-path call costs the result size times
+    local area depth, never a full-index pass."""
+    pts = placex
+    if points is not None:
+        pts = placex.join(points.select("place_id"), "place_id",
+                          "left_semi")
     areas = placex.filter(
         (F.col("extended_type") == "A") & F.col("rank_address").between(1, 25)
     ).select(
@@ -37,7 +46,7 @@ def build_place_addressline(spark, placex: DataFrame) -> DataFrame:
         "geometry",
     )
     joined = point_in_polygon_join_dist(
-        placex.select("place_id", "lon", "lat"),
+        pts.select("place_id", "lon", "lat"),
         areas,
         poly_key="addr_id",
         carry=("addr_rank", "a_lon", "a_lat"),

@@ -187,3 +187,28 @@ def test_cli_add_tiger_then_lookup(spark, index, tmp_path, capsys):
     doc = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert rc == 0 and doc["type"] == "houses"
     assert doc["osm_type"] == "way"  # parent street's osm object
+
+
+def test_geocodejson_addressdetails(spark, index, capsys):
+    """addressdetails flattens ancestor rank labels into the geocoding
+    object and nests the adminN map (_write_geocodejson_address +
+    format_json.py:284-294)."""
+    from nominatim_spark.cli import main
+
+    _, _, ckpt = index
+    rc = main(["search", f"Birch Street, {synth.city_name(0)}",
+               "--index", ckpt, "--format", "geocodejson",
+               "--addressdetails"])
+    doc = json.loads(capsys.readouterr().out.strip())
+    g = doc["features"][0]["properties"]["geocoding"]
+    assert rc == 0 and g["type"] == "street"
+    assert g["city"] == synth.city_name(0)
+    assert "country" in g                       # rank-4 ancestor present
+    assert g["admin"]["level8"] == synth.city_name(0)
+    assert g["country_code"]
+    # without the flag the labels stay absent
+    rc = main(["search", f"Birch Street, {synth.city_name(0)}",
+               "--index", ckpt, "--format", "geocodejson"])
+    doc = json.loads(capsys.readouterr().out.strip())
+    g = doc["features"][0]["properties"]["geocoding"]
+    assert "city" not in g and "admin" not in g
