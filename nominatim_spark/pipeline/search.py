@@ -895,6 +895,7 @@ def score_hits(
     layers: list[str] | None = None,
     excluded_place_ids: list[int] | None = None,
     feature_type: str | None = None,
+    countries: list[str] | None = None,
     near_radius_deg: float = 0.02,
     preprocessors: list | None = None,
     phrases=None,
@@ -914,7 +915,11 @@ def score_hits(
     ``viewbox`` filters candidates when ``bounded_viewbox`` else penalizes
     results outside it (+1.0); ``layers`` restricts candidate classes
     (DataLayer analog, keys of LAYER_CLASSES); ``excluded_place_ids``
-    drops specific places (P4)."""
+    drops specific places (P4); ``countries`` restricts every lane to the
+    given country codes (the reference's countrycodes param,
+    SearchDetails.countries, types.py + place_search country filter) —
+    applied at the candidate join, so excluded countries never reach the
+    lane exchanges."""
     # persist the parsed assignments BEFORE the direction fold — the fold
     # reads the parse output three times (split filter, token explode,
     # main flow) and the Python parse must run exactly once
@@ -957,14 +962,25 @@ def score_hits(
         "word_id", "left_semi",
     ).select(F.col("word_id").alias("drive_id"), "place_id")
 
+    has_cc = "country_code" in idx.search_name.columns
     sn = idx.search_name.select(
         "place_id", "osm_type", "osm_id", "class", "type", "rank_search",
         "rank_address", "importance", "lon", "lat", "housenumber",
         "norm_name", "parent_place_id", "name_vector",
         "nameaddress_vector",
+        *(["country_code"] if has_cc else []),
         (F.col("postcode") if "postcode" in idx.search_name.columns
          else F.lit(None).cast("string")).alias("own_pc"),
     )
+    if countries:
+        if not has_cc:
+            raise ValueError(
+                "countries= filter requires a country_code column on "
+                "search_name")
+        sn = sn.filter(F.lower(F.col("country_code")).isin(
+            [c.lower() for c in countries]))
+    if has_cc:
+        sn = sn.drop("country_code")
     # materialize the candidate set once: the house / interpolation /
     # fallback branches below all reuse it, and Spark does not reuse
     # exchanges across differently-projected union branches — without this
@@ -1259,6 +1275,10 @@ def score_hits(
 
     # ---- postcode lane (PostcodeSearch, db_searches/postcode_search.py):
     # postcode-role assignments resolve against the postcode table
+    if postcodes is not None and countries:
+        postcodes = postcodes.filter(
+            F.lower(F.col("country_code")).isin(
+                [c.lower() for c in countries]))
     if postcodes is not None:
         # only name-less assignments become a PostcodeSearch — with a name
         # present the postcode acts as a candidate penalty instead (see
@@ -1337,6 +1357,9 @@ def score_hits(
         px = idx.placex
         if "linked_place_id" in px.columns:
             px = px.filter(F.col("linked_place_id").isNull())
+        if countries:
+            px = px.filter(F.lower(F.col("country_code")).isin(
+                [c.lower() for c in countries]))
         cats = px.select(
             F.col("place_id").alias("c_pid"),
             F.col("osm_type").alias("c_ot"), F.col("osm_id").alias("c_oid"),
@@ -1471,6 +1494,7 @@ def geocode_structured(spark, idx: IndexTables, queries: DataFrame,
 
 def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
                 max_results: int = 10, epsilon: float = 0.5,
+                dedupe: bool = True,
                 rerank: bool = False, rerank_locales=None,
                 rerank_addressline: DataFrame | None = None,
                 **kw) -> DataFrame:
@@ -1478,6 +1502,13 @@ def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
     reference's adaptive cut (T4 — geocoder.py:174-191): results worse
     than best-penalty + ``epsilon`` are dropped, then the list is capped
     at ``max_results``.  Adds ``result_rank`` (1 = best).
+
+    ``dedupe`` (default on, like the API's ``dedupe`` param) drops
+    look-alike duplicates before the cap — same osm object, or same
+    (osm_type, class, type, name, rank_address) classification
+    (deduplicate_results, v1/helpers.py:126-151; norm_name stands in for
+    the display name).  Keys of every visited row block later rows, so
+    the window form matches the reference's sequential set semantics.
 
     ``rerank=True`` applies the reference's difflib ``rerank_by_query``
     pass (geocoder.py:213-248) over the final list — byte-parity word
@@ -1499,9 +1530,23 @@ def geocode_all(spark, idx: IndexTables, queries: DataFrame, *,
         all_hits.withColumn("_best_pen", F.min("penalty").over(wq))
         .filter(F.col("penalty") <= F.col("_best_pen") + F.lit(epsilon))
         .withColumn("result_rank", F.row_number().over(worder))
-        .filter(F.col("result_rank") <= max_results)
         .drop("_best_pen")
     )
+    if dedupe:
+        cls_cols = [c for c in ("osm_type", "class", "type", "norm_name",
+                                "rank_address") if c in out.columns]
+        wosm = Window.partitionBy("query_id", "osm_type", "osm_id") \
+            .orderBy("result_rank")
+        wcls = Window.partitionBy("query_id", *cls_cols) \
+            .orderBy("result_rank")
+        out = (
+            out.withColumn("_d1", F.row_number().over(wosm))
+            .withColumn("_d2", F.row_number().over(wcls))
+            .filter((F.col("_d1") == 1) & (F.col("_d2") == 1))
+            .withColumn("result_rank", F.row_number().over(worder))
+            .drop("_d1", "_d2")
+        )
+    out = out.filter(F.col("result_rank") <= max_results)
     if rerank:
         from nominatim_spark.pipeline.rerank import rerank_by_query
         out = rerank_by_query(

@@ -226,6 +226,15 @@ def test_search_knobs(spark, index):
                   viewbox=(0.0, 0.0, 1.0, 1.0)).collect()
     assert pen[0].place_id == street_pid and pen[0].penalty >= 1.0
 
+    # countrycodes restriction (SearchDetails.countries): the index
+    # country passes, a foreign-only list removes every candidate
+    cc_hit = geocode(spark, idx, q, osmline=osmline,
+                     countries=["CV"]).collect()
+    assert cc_hit[0].place_id == street_pid
+    cc_miss = geocode(spark, idx, q, osmline=osmline,
+                      countries=["us", "de"]).collect()
+    assert cc_miss == []
+
 
 def test_geocode_all_adaptive_cut(spark, index):
     """T4 (geocoder.py:174-191): ranked list per query, results beyond
@@ -447,3 +456,47 @@ def test_feature_type_rank_window(spark, index):
     res = geocode(spark, idx, qc, osmline=osmline,
                   feature_type="country").collect()
     assert len(res) == 1 and res[0].osm_id == 1
+
+
+def test_geocode_all_dedupe(spark, tmp_path):
+    """deduplicate_results (v1/helpers.py:126-151): a street split into
+    two same-named ways yields ONE result with dedupe (same
+    classification), both with dedupe=False."""
+    import pandas as pd
+
+    from nominatim_spark.geometry.wkb import linestring_wkb, polygon_wkb
+    from nominatim_spark.pipeline.placex import build_index
+    from nominatim_spark.pipeline.search import geocode_all
+    from nominatim_spark.sources.synth import PLACE_SCHEMA
+
+    rows = [
+        {"osm_type": "R", "osm_id": 9, "class": "boundary",
+         "type": "administrative", "admin_level": 2,
+         "name": {"name": "Testland"}, "address": {"country": "fr"},
+         "extratags": {},
+         "geometry": polygon_wkb(
+             [(5.0, 45.0), (7.0, 45.0), (7.0, 47.0), (5.0, 47.0),
+              (5.0, 45.0)]),
+         "categories": None},
+        {"osm_type": "W", "osm_id": 701, "class": "highway",
+         "type": "residential", "admin_level": None,
+         "name": {"name": "Split Street"}, "address": {}, "extratags": {},
+         "geometry": linestring_wkb([(6.00, 46.0), (6.01, 46.0)]),
+         "categories": None},
+        {"osm_type": "W", "osm_id": 702, "class": "highway",
+         "type": "residential", "admin_level": None,
+         "name": {"name": "Split Street"}, "address": {}, "extratags": {},
+         "geometry": linestring_wkb([(6.01, 46.0), (6.02, 46.0)]),
+         "categories": None},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["admin_level"] = pd.Series(
+        [r.get("admin_level") for r in rows], dtype=object)
+    idx = build_index(spark, spark.createDataFrame(pdf, PLACE_SCHEMA),
+                      ckpt_root=str(tmp_path / "dd_idx"))
+    q = spark.createDataFrame([("d1", "Split Street")],
+                              "query_id string, qtext string")
+    both = geocode_all(spark, idx, q, dedupe=False).collect()
+    assert sorted(r.osm_id for r in both) == [701, 702]
+    one = geocode_all(spark, idx, q).collect()
+    assert len(one) == 1 and one[0].result_rank == 1
