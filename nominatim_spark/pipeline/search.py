@@ -146,8 +146,11 @@ def _assignments(q: str, table=None) -> list[tuple]:
     * a LEADING or TRAILING category phrase without a connector (edge
       placement, the only positions the reference admits) adds a near
       reading (operator near/in) and a qualifier reading (operator '-',
-      candidate class/type restrict) at +0.1, un-phrased queries only so
-      the aligned comma reading never fans out;
+      candidate class/type restrict) at +0.1.  Comma-phrased queries get
+      the same edge readings when the FIRST or LAST phrase is exactly a
+      category phrase ('restaurant, Vels' / 'Vels, restaurant' —
+      token_assignment.py:158 admits NEAR_ITEM at either end of the
+      phrase sequence); mid-sequence near_item stays out of scope;
     * a category-only query yields the PoiSearch assignment
       (build_poi_search:121-128).
 
@@ -192,6 +195,27 @@ def _assignments(q: str, table=None) -> list[tuple]:
             if "-" in sm[2]:
                 out += [(*_bump(a), None, sm[1])
                         for a in _enumerate_assignments(rest)]
+    else:
+        # comma-phrased edge placement (token_assignment.py:158 admits a
+        # NEAR_ITEM phrase at either end of the phrase sequence):
+        # 'restaurant, Vels' / 'Vels, restaurant' read the category
+        # phrase as near_item/qualifier with the remaining phrases as the
+        # anchor.  Mid-sequence near_item stays out of scope (documented).
+        ph = [p.strip() for p in base.split(",") if p.strip()]
+        if len(ph) > 1:
+            for toks, rest in (
+                (ph[0].split(), ", ".join(ph[1:])),
+                (ph[-1].split(), ", ".join(ph[:-1])),
+            ):
+                em = match_phrase(toks, table)
+                if em is None or em[0] != len(toks):
+                    continue
+                if any(op in NEAR_OPS for op in em[2]):
+                    out += [(*_bump(a), em[1], None)
+                            for a in _enumerate_assignments(rest)]
+                if "-" in em[2]:
+                    out += [(*_bump(a), None, em[1])
+                            for a in _enumerate_assignments(rest)]
     out += [(*a, None, None) for a in _enumerate_assignments(base)]
     # dedupe (name, hnr, addr, postcode, near_key, qual_key) keeping the
     # lowest penalty

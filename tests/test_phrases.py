@@ -75,6 +75,28 @@ def test_multi_word_phrase_match():
     assert got[0] == 2 and got[1] == "leisure|swimming_pool"
 
 
+def test_comma_phrased_edge_category_readings():
+    """A comma-phrased query whose FIRST or LAST phrase is exactly a
+    category phrase reads it as near_item with the remaining phrases as
+    the anchor (token_assignment.py:158 admits NEAR_ITEM at either end
+    of the phrase sequence)."""
+    lead = _assignments("restaurant, Vels")
+    near = [x for x in lead if x[7] == "amenity|restaurant"]
+    assert near and all(x[0] != "restaurant" for x in near)
+    # the literal reading survives alongside (reference yields both)
+    assert any(x[7] is None and x[0] == "restaurant" for x in lead)
+
+    trail = _assignments("Birch Street, Vels, restaurant")
+    near = [x for x in trail if x[7] == "amenity|restaurant"]
+    assert near
+    # the anchor keeps its full comma phrasing (street + city)
+    assert any(x[0] == "birch street" and x[2] == "vels" for x in near)
+
+    # a category word in the MIDDLE of the phrase list stays literal
+    mid = _assignments("Birch Street, restaurant, Vels")
+    assert not any(x[7] for x in mid)
+
+
 @pytest.fixture(scope="module")
 def cat_index(spark, tmp_path_factory):
     """Synth country + extra POIs of several categories near city 0's
