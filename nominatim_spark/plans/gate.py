@@ -1541,6 +1541,107 @@ GROUP BY c_custkey, code
 """
 
 
+def q_reverse_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage reverse refinement (T5 round-4/5 tiers — a STREET
+    winner refines to its nearest CHILD house within the house radius,
+    reverse.py:242-320): suppliers act as streets, customers as houses
+    parented to their nearest street; each probe finds the nearest
+    street within 0.006°, then the nearest house OF THAT STREET within
+    0.001° answers when one exists.  Both knn stages run the engine's
+    cell-ring expansion; the refinement is the same min_by-within-radius
+    join the reverse tier uses."""
+    streets = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{sg.SUPP_LON} AS lon", f"{sg.SUPP_LAT} AS lat")
+    houses = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{sg.CUST_LON} AS lon", f"{sg.CUST_LAT} AS lat")
+    # parent each house to its nearest street (the index-build parenting)
+    parents = knn_join(
+        houses, streets.selectExpr("s_suppkey AS parent", "lon", "lat"),
+        res=0, point_key="c_custkey", cand_key="parent",
+    ).select("c_custkey", "parent")
+    # probes: every 3rd supplier, nudged off-center
+    probes = streets.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("probe_id"),
+        (F.col("lon") + 0.0004).alias("lon"),
+        (F.col("lat") + 0.0003).alias("lat"),
+    )
+    t1 = knn_join(
+        probes, streets.selectExpr("s_suppkey AS street", "lon", "lat"),
+        res=0, point_key="probe_id", cand_key="street",
+    ).filter(F.col("dist2") <= 0.006 ** 2).select("probe_id", "street")
+    hs = houses.join(parents, "c_custkey").select(
+        F.col("parent").alias("street"), "c_custkey",
+        F.col("lon").alias("h_lon"), F.col("lat").alias("h_lat"))
+    refined = (
+        t1.join(probes, "probe_id").join(hs, "street")
+        .withColumn("_d2", (F.col("h_lon") - F.col("lon")) ** 2
+                    + (F.col("h_lat") - F.col("lat")) ** 2)
+        .filter(F.col("_d2") <= 0.001 ** 2)
+        .groupBy("probe_id")
+        .agg(F.expr("min_by(c_custkey, struct(_d2, c_custkey))")
+             .alias("house"))
+    )
+    return (
+        t1.join(refined, "probe_id", "left")
+        .select(
+            "probe_id", "street", "house",
+            F.when(F.col("house").isNotNull(), "house")
+            .otherwise("street").alias("tier"),
+        )
+    )
+
+
+Q_REVERSE_REFINE_SQL = f"""
+WITH streets AS ({sg.supplier_points_sql()}),
+     houses AS ({sg.customer_points_sql()}),
+     parents AS (
+       SELECT c_custkey, parent FROM (
+         SELECT h.c_custkey, s.s_suppkey AS parent,
+                ROW_NUMBER() OVER (
+                  PARTITION BY h.c_custkey
+                  ORDER BY (h.lon - s.lon) * (h.lon - s.lon)
+                         + (h.lat - s.lat) * (h.lat - s.lat), s.s_suppkey
+                ) AS rn
+         FROM houses h CROSS JOIN streets s) t
+       WHERE rn = 1),
+     probes AS (
+       SELECT s_suppkey AS probe_id, lon + 0.0004 AS lon,
+              lat + 0.0003 AS lat
+       FROM streets WHERE s_suppkey % 3 = 0),
+     t1 AS (
+       SELECT probe_id, street FROM (
+         SELECT p.probe_id, s.s_suppkey AS street,
+                (p.lon - s.lon) * (p.lon - s.lon)
+              + (p.lat - s.lat) * (p.lat - s.lat) AS d2,
+                ROW_NUMBER() OVER (
+                  PARTITION BY p.probe_id
+                  ORDER BY (p.lon - s.lon) * (p.lon - s.lon)
+                         + (p.lat - s.lat) * (p.lat - s.lat), s.s_suppkey
+                ) AS rn
+         FROM probes p CROSS JOIN streets s) t
+       WHERE rn = 1 AND d2 <= 0.006 * 0.006),
+     refined AS (
+       SELECT probe_id, house FROM (
+         SELECT t1.probe_id, h.c_custkey AS house,
+                ROW_NUMBER() OVER (
+                  PARTITION BY t1.probe_id
+                  ORDER BY (h.lon - p.lon) * (h.lon - p.lon)
+                         + (h.lat - p.lat) * (h.lat - p.lat), h.c_custkey
+                ) AS rn
+         FROM t1
+         JOIN probes p ON p.probe_id = t1.probe_id
+         JOIN parents pa ON pa.parent = t1.street
+         JOIN houses h ON h.c_custkey = pa.c_custkey
+         WHERE (h.lon - p.lon) * (h.lon - p.lon)
+             + (h.lat - p.lat) * (h.lat - p.lat) <= 0.001 * 0.001) t
+       WHERE rn = 1)
+SELECT t1.probe_id, t1.street, refined.house,
+       CASE WHEN refined.house IS NOT NULL THEN 'house'
+            ELSE 'street' END AS tier
+FROM t1 LEFT JOIN refined ON refined.probe_id = t1.probe_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "top_orders_join": (q_top_orders, Q_TOP_ORDERS_SQL),
@@ -1582,6 +1683,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "locale_pick": (q_locale_pick, Q_LOCALE_SQL),
     "geom_geojson_roundtrip": (q_geom_geojson, Q_GEOM_SQL),
     "postcode_multi_country": (q_postcode_multi, _q_postcode_multi_sql()),
+    "reverse_refine_tiers": (q_reverse_refine, Q_REVERSE_REFINE_SQL),
     "geocode_pages_e2e": (q_geocode_pages, None),
     "reverse_geocode_e2e": (q_reverse_geocode, None),
     "incremental_update_e2e": (q_incremental_update, None),
