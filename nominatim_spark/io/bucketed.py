@@ -69,6 +69,32 @@ def save_bucketed_index(spark, idx: IndexTables, root: str, *,
     return names
 
 
+def register_bucketed_index(spark, root: str, *, n_buckets: int = 64,
+                            prefix: str = "nomspark") -> dict[str, str]:
+    """Re-register previously written bucketed tables in a FRESH session.
+
+    The default in-memory catalog dies with the process, so a new
+    session (CLI invocation, restarted service) re-creates the external
+    table metadata over the existing files — CLUSTERED BY DDL with the
+    schema inferred from the parquet footers.  The data is not touched;
+    the bucket layout on disk is what makes the join exchange-free."""
+    names: dict[str, str] = {}
+    for logical, key in _BUCKET_SPECS:
+        path = os.path.join(root, logical)
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in schema)
+        tbl = f"{prefix}_{logical}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        names[logical] = tbl
+    return names
+
+
 def load_bucketed_index(spark, idx: IndexTables,
                         names: dict[str, str]) -> IndexTables:
     """IndexTables whose hot tables read from the bucketed catalog
