@@ -463,25 +463,50 @@ def _addr_ladder_cached(aphr: tuple):
     return spans, paths, dflts
 
 
+def _parse_rows(q: str, table=None) -> tuple[tuple, ...]:
+    """All parse rows (sans query position) for ONE preprocessed query —
+    a pure function of the text, shared by the cached and uncached paths."""
+    full = " ".join(
+        norm_translit(p.strip())
+        for p in (q or "").split(",") if p.strip()
+    )
+    rows = []
+    for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk, qk) in enumerate(
+            _assignments(q, table)):
+        spans, paths, dflts = _addr_ladder(aphr)
+        # pc is the full multi-country readings tuple (canonical
+        # spelling first); 'postcode' keeps the canonical scalar,
+        # 'pc_all' the whole set for the lanes to explode
+        rows.append((aid, name, hnr, addr,
+                     pc[0] if pc else None, pen, dirn, full,
+                     aphr, nk, qk, spans, paths, dflts,
+                     list(pc) if pc else None))
+    return tuple(rows)
+
+
+# Batches repeat query strings constantly (a crawl mentions the same
+# address on many pages; the flagship's 100k pages carry ~1k distinct
+# mentions), and the per-query enumeration is the single most expensive
+# Python step in the engine (measured ~60% of the flagship's Python task
+# time).  Memoize the whole per-text parse in the long-lived worker
+# process — same discipline as _addr_ladder_cached; keyed on the
+# PREPROCESSED text and valid only for the default phrase table (custom
+# tables take the uncached path).  The rows are read-only after
+# construction, so sharing them across batches is safe.
+@functools.lru_cache(maxsize=65536)
+def _parse_rows_default(q: str) -> tuple[tuple, ...]:
+    return _parse_rows(q, None)
+
+
 def _parse_batch(qtext: pd.Series, pre=None, table=None) -> pd.DataFrame:
     rows = []
     for pos, q in enumerate(qtext):
         if pre is not None and q:
             q = pre(q)
-        full = " ".join(
-            norm_translit(p.strip())
-            for p in (q or "").split(",") if p.strip()
-        )
-        for aid, (name, hnr, addr, pc, pen, dirn, aphr, nk, qk) in enumerate(
-                _assignments(q, table)):
-            spans, paths, dflts = _addr_ladder(aphr)
-            # pc is the full multi-country readings tuple (canonical
-            # spelling first); 'postcode' keeps the canonical scalar,
-            # 'pc_all' the whole set for the lanes to explode
-            rows.append((pos, aid, name, hnr, addr,
-                         pc[0] if pc else None, pen, dirn, full,
-                         aphr, nk, qk, spans, paths, dflts,
-                         list(pc) if pc else None))
+        parsed = (_parse_rows_default(q) if table is None
+                  else _parse_rows(q, table))
+        for r in parsed:
+            rows.append((pos,) + r)
     return pd.DataFrame(
         rows,
         columns=["_pos", "assign_id", "name_norm", "hnr", "addr_norm",

@@ -37,8 +37,67 @@ TABLES = [
 ]
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _input_bytes(spark: SparkSession, path: str) -> int | None:
+    """Total bytes under ``path`` via the Hadoop FS API (works for any
+    supported filesystem, ~1 ms for local paths)."""
+    try:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hp).getLength())
+    except Exception:  # noqa: BLE001 — unknown FS/missing path: skip fan-out
+        return None
+
+
+# fan-out only inputs big enough that serial per-row work matters; tiny
+# inputs are cheaper scanned as-is (the repartition exchange + its AQE
+# stage cost more than the serial work they spread — measured A/B,
+# tools/ab_fanout.py)
+_FAN_OUT_MIN_BYTES = 256 * 1024
+
+
+def load(spark: SparkSession, sf_dir: str, name: str,
+         fan_out: bool = False) -> DataFrame:
+    """Read a testdata table; optionally fan out an unsplittable scan.
+
+    The driver's tables are single-file single-row-group parquet — an
+    UNSPLITTABLE input: the scan yields one task regardless of
+    ``maxPartitionBytes``, so every per-row operator fused into the scan
+    stage (tokenize+explode, partial aggregation, pandas UDFs) runs
+    serially on one core.  Guide §2.5 ("input skew: one huge
+    unsplittable file ... repartition immediately after the read"): with
+    ``fan_out=True``, when the scan would produce fewer splits than the
+    cluster has cores, a round-robin repartition immediately after the
+    read spreads the per-row work across all cores for the price of
+    shuffling an input that is by definition small.  Opt-in per query:
+    the interleaved A/B (tools/ab_fanout.py) shows the extra exchange
+    LOSES wherever per-row work is light, and wins only for the
+    regex-tokenization scans.  At production scale the split condition
+    is false (millions of splits) and this is a no-op either way — the
+    decision derives from the measured input size, not a local[32] tune.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not fan_out or os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
+    nbytes = _input_bytes(spark, path)
+    if nbytes is None or nbytes < _FAN_OUT_MIN_BYTES:
+        return df
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except ValueError:  # byte-string form ("128m") — parse via the JVM util
+        max_split = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        )
+    par = spark.sparkContext.defaultParallelism
+    est_splits = max(1, -(-nbytes // max_split))
+    if est_splits < par:
+        return df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------- relational
@@ -466,7 +525,7 @@ _DUCK_TOKENIZE = (
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-frequency statistics (A1 — icu_tokenizer word stats,
     explode + groupBy + deterministic top-100)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     return (
         docs.select(F.explode(F.expr(_TOKENIZE)).alias("word"))
         .groupBy("word")
