@@ -815,14 +815,23 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     # assignment (posexplode index 0) — attaching them to every token row
     # would duplicate them through the explode and shuffle N copies into
     # the groupBy (measured ~20% of the flagship parse-plan wall)
+    hnr_col = (F.col("hnr") if "hnr" in q.columns
+               else F.lit(None).cast("string")).alias("hnr")
     toks = q.select(
         "query_id", "assign_id", "apenalty", qual, pcflag,
+        hnr_col, "name_norm",
         F.posexplode(F.concat(*parts)).alias("_ti", "_t"),
         paths.alias("_ap"), dflts.alias("_ad"),
     ).select(
         "query_id", "assign_id", "apenalty", "qual_key", "_pcf",
         F.when(F.col("_ti") == 0, F.col("_ap")).alias("addr_paths"),
         F.when(F.col("_ti") == 0, F.col("_ad")).alias("addr_dflts"),
+        # hnr/name_norm ride the first exploded row only (same discipline
+        # as the ladder arrays) so the downstream lanes need no join back
+        # to the parse output — the housenumber and plain lanes become
+        # pure filters over the candidate set
+        F.when(F.col("_ti") == 0, F.col("hnr")).alias("_hnr0"),
+        F.when(F.col("_ti") == 0, F.col("name_norm")).alias("_nn0"),
         "_t.*",
     )
 
@@ -862,6 +871,8 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
         )).alias("_span_hits"),
         F.first("addr_paths", ignorenulls=True).alias("_paths"),
         F.first("addr_dflts", ignorenulls=True).alias("_dflts"),
+        F.first("_hnr0", ignorenulls=True).alias("hnr"),
+        F.first("_nn0", ignorenulls=True).alias("name_norm"),
     ).filter(
         (F.col("_n_name") > 0)
         & (F.col("_n_name_hit") == F.col("_n_name"))
@@ -894,6 +905,7 @@ def _plan_assignments(q: DataFrame, word: DataFrame) -> DataFrame:
     ))
     return agg.select(
         "query_id", "assign_id", "apenalty", "qual_key", "pc_flagged",
+        "hnr", "name_norm",
         "name_ids", "addr_ids",
         F.when(
             F.col("_w_full_id").isNotNull()
@@ -969,11 +981,15 @@ def score_hits(
     SearchDetails.countries, types.py + place_search country filter) —
     applied at the candidate join, so excluded countries never reach the
     lane exchanges."""
-    # persist the parsed assignments BEFORE the direction fold — the fold
-    # reads the parse output three times (split filter, token explode,
-    # main flow) and the Python parse must run exactly once
+    # materialize the parsed assignments BEFORE the direction fold — the
+    # fold reads the parse output three times (split filter, token
+    # explode, main flow) and the Python parse must run exactly once.
+    # localCheckpoint instead of persist: every downstream lane's logical
+    # plan then starts from a leaf RDD rather than embedding the whole
+    # mapInPandas subtree, which cuts the per-action Catalyst/cache-lookup
+    # time on the driver (guide §3.3: materialise to truncate the plan)
     parsed = parse_queries(queries, text_col, preprocessors=preprocessors,
-                           phrases=phrases).persist()
+                           phrases=phrases).localCheckpoint(eager=True)
     # ONE metadata probe over the cached parse feeds every conditional
     # lane below — replaces four serial isEmpty() driver round trips
     # (direction fold, postcode penalty, near chain, poi search)
@@ -990,8 +1006,9 @@ def score_hits(
     has_split, has_pc_name, has_near, has_poi, has_qual = (
         bool(_fl["split"]), bool(_fl["pc_name"]),
         bool(_fl["near"]), bool(_fl["poi"]), bool(_fl["qual"]))
-    q = _fold_direction_penalty(parsed, idx.word,
-                                enabled=has_split).persist()
+    q = _fold_direction_penalty(parsed, idx.word, enabled=has_split)
+    if q is not parsed:  # fold disabled -> q IS the checkpointed parse
+        q = q.localCheckpoint(eager=True)
 
     # ---- planned lookup (J1 LookupAll + J3 Restrict, stats-driven):
     # ONE posting join, driven by each assignment's rarest name token
@@ -1001,7 +1018,7 @@ def score_hits(
     # own name_vector/nameaddress_vector — address tokens are
     # anti-selective (a city name posts on every place in the city), so
     # keeping them out of the join is load-bearing at scale (measured 6x).
-    plan = _plan_assignments(q, idx.word).persist()
+    plan = _plan_assignments(q, idx.word).localCheckpoint(eager=True)
     # pre-filter the posting table by the batch's distinct DRIVE ids (a
     # bounded broadcast) so the posting shuffle moves only the rarest-token
     # rows — strictly fewer than round 2's all-query-token prefilter
@@ -1186,14 +1203,18 @@ def score_hits(
             .drop("_qpcs", "_has_addr", "_cents")
         )
 
-    cand = cand.persist()
-    cand.count()
+    # one materialization: all four lanes below re-read this set (Spark
+    # does not reuse exchanges across differently-projected union
+    # branches); localCheckpoint both caches it and truncates the join
+    # lineage out of every lane's plan
+    cand = cand.localCheckpoint(eager=True)
 
-    # ---- housenumber lane: candidates that are streets get children
-    qh = q.filter(F.col("hnr").isNotNull()).select(
-        "query_id", "assign_id", "hnr"
-    )
-    street_cand = cand.join(qh, ["query_id", "assign_id"]).filter(
+    # ---- housenumber lane: candidates that are streets get children.
+    # hnr rides the plan aggregation (_plan_assignments), so the lane is a
+    # FILTER over the checkpointed candidate set — no join back to the
+    # parse output (saved one shuffle join + one anti-join over the
+    # biggest intermediate; plan diff in plans/r06/).
+    street_cand = cand.filter(F.col("hnr").isNotNull()).filter(
         F.col("rank_search").between(26, 27)
     )
     # one row per (house, housenumber): clean_housenumbers splits "2;4;6"
@@ -1289,10 +1310,7 @@ def score_hits(
         6,
     )
     plain = (
-        cand.join(qh.select("query_id", "assign_id"),
-                  ["query_id", "assign_id"], "left_anti")
-        .join(q.select("query_id", "assign_id", "name_norm"),
-              ["query_id", "assign_id"])
+        cand.filter(F.col("hnr").isNull())
         .withColumn(
             "text_dist",
             F.when(
