@@ -1524,8 +1524,29 @@ def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:
     deterministic because (penalty, text_dist, -importance, place_id)
     ends in the unique place_id.  See score_hits for the lane DAG and the
     search knobs.
+
+    The whole pipeline runs per DISTINCT query text, and the per-text
+    best is joined back to the query ids at the end (guide §8: decide on
+    the small proxy, attach the decision once).  Geocoding is a pure
+    function of the text — every search knob is batch-global — so the
+    results are identical, while a crawl workload, which mentions the
+    same address on many pages, pays the parse/plan/candidate machinery
+    once per distinct string instead of once per page.  Fully-unique
+    batches pay one extra exchange of the (short) text column.
     """
-    all_hits = score_hits(spark, idx, queries, **kw)
+    text_col = kw.get("text_col", "qtext")
+    # materialize the (id, text) projection once: both the distinct and
+    # the final attach join read it, so an expensive upstream (e.g. the
+    # page-extraction mapInPandas) runs exactly once
+    qsel = queries.select(
+        "query_id", F.col(text_col).alias("_qtext")
+    ).localCheckpoint(eager=True)
+    uniq = (
+        qsel.select(F.col("_qtext").alias(text_col))
+        .dropDuplicates([text_col])
+        .withColumn("query_id", F.col(text_col))
+    )
+    all_hits = score_hits(spark, idx, uniq, **kw)
     val_cols = [c for c in all_hits.columns if c != "query_id"]
     best = all_hits.groupBy("query_id").agg(
         F.expr(
@@ -1533,7 +1554,8 @@ def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:
             "struct(penalty, text_dist, -importance, place_id))"
         ).alias("_best")
     )
-    return best.select("query_id", "_best.*")
+    per_text = best.select(F.col("query_id").alias("_qtext"), "_best.*")
+    return qsel.join(per_text, "_qtext").drop("_qtext")
 
 
 STRUCTURED_FIELDS = ("amenity", "street", "city", "county", "state",

@@ -52,12 +52,16 @@ def _input_bytes(spark: SparkSession, path: str) -> int | None:
 # fan-out only inputs big enough that serial per-row work matters; tiny
 # inputs are cheaper scanned as-is (the repartition exchange + its AQE
 # stage cost more than the serial work they spread — measured A/B,
-# tools/ab_fanout.py)
+# tools/ab_fanout.py).  Above the cap the natural splits already occupy
+# the cluster well enough that shuffling the whole input to gain the
+# last factor of parallelism costs more than it saves.
 _FAN_OUT_MIN_BYTES = 256 * 1024
+_FAN_OUT_MAX_BYTES = 256 * 1024 * 1024
 
 
 def load(spark: SparkSession, sf_dir: str, name: str,
-         fan_out: bool = False) -> DataFrame:
+         fan_out: bool = False, min_bytes: int = _FAN_OUT_MIN_BYTES,
+         ) -> DataFrame:
     """Read a testdata table; optionally fan out an unsplittable scan.
 
     The driver's tables are single-file single-row-group parquet — an
@@ -83,7 +87,7 @@ def load(spark: SparkSession, sf_dir: str, name: str,
     if not fan_out or os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
         return df
     nbytes = _input_bytes(spark, path)
-    if nbytes is None or nbytes < _FAN_OUT_MIN_BYTES:
+    if nbytes is None or not (min_bytes <= nbytes <= _FAN_OUT_MAX_BYTES):
         return df
     try:
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
@@ -108,7 +112,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Filter pushes to the parquet scan; aggregation is map-side partial.
     DECIMAL sums keep the result order-independent and oracle-exact.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # fan-out crossover at 32 MB: below it (sf0.1's 11 MB) the interleaved
+    # A/B picked the plain serial scan — the agg is cheap enough that the
+    # repartition exchange loses; one SF up the serial decimal aggregation
+    # dominates and the fan-out wins
+    li = load(spark, sf_dir, "lineitem", fan_out=True,
+              min_bytes=32 * 1024 * 1024)
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -138,7 +147,8 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + group + deterministic top-k (J4 + T1 pattern)."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", fan_out=True,
+              min_bytes=32 * 1024 * 1024)
     rev = (
         li.groupBy("l_orderkey")
         .agg(
@@ -626,7 +636,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min of md5(seed:shingle) per seed (portable across engines); two bands
     of two hashes; candidate pair = same band value, doc_a < doc_b.
     """
-    docs = load(spark, sf_dir, "documents")
+    # shingle generation + 4 md5 per shingle is the heaviest per-row work
+    # in the headline set: fan the scan out once the document table grows
+    # past the measured crossover (plain wins at sf0.1's 0.6 MB)
+    docs = load(spark, sf_dir, "documents", fan_out=True,
+                min_bytes=2 * 1024 * 1024)
     sh = docs.select(
         "doc_id",
         F.explode(

@@ -28,10 +28,16 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # 2x parallelism: enough granularity for AQE coalescing without
-        # tiny-partition overhead at local scale; on a 1000-executor
-        # cluster this would be ~2x total cores.
-        shuffle_partitions = max(2 * cpus, 8)
+        # 1x parallelism: a shuffle produces (map tasks) x (reduce
+        # partitions) blocks, so the per-stage fixed cost grows with the
+        # partition count even when the data is tiny (guide §2.2) —
+        # measured 3x on small exchanges at 64 vs 8.  1x total cores
+        # keeps every core busy (AQE coalesces further when data is
+        # small and splits skewed partitions when it is not); on a real
+        # cluster the count still scales with executor count, and
+        # data-volume-driven sizing comes from
+        # advisoryPartitionSizeInBytes, not this floor.
+        shuffle_partitions = max(cpus, 8)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -76,12 +76,15 @@ def main() -> None:
             continue
         dur = (s.get("executorRunTime") or 0) / 1000.0
         sub = s.get("submissionTime"); comp = s.get("completionTime")
+        det = s.get("details") or ""
+        frame = next((ln.strip() for ln in det.splitlines()
+                      if "/nominatim_spark/" in ln or "/repo/" in ln), "")
         rows.append((
             s["stageId"], s["numTasks"], dur,
             (s.get("executorCpuTime") or 0) / 1e9,
             (s.get("shuffleReadBytes") or 0) / 1e6,
             (s.get("shuffleWriteBytes") or 0) / 1e6,
-            (s.get("name") or "")[:80],
+            ((s.get("name") or "")[:40] + " | " + frame[-70:]),
             sub, comp,
         ))
     rows.sort(key=lambda r: -r[2])
