@@ -1541,6 +1541,18 @@ def geocode(spark, idx: IndexTables, queries: DataFrame, **kw) -> DataFrame:
     qsel = queries.select(
         "query_id", F.col(text_col).alias("_qtext")
     ).localCheckpoint(eager=True)
+    # right-size the two consumers below from the MEASURED batch size:
+    # they do trivial per-row work (hash, broadcast-probe), so ~1M rows
+    # per task (the guide's ~100 MB partition band for short rows) is
+    # plenty, and fewer map tasks shrink the (map x reduce) shuffle
+    # block grid that dominates small batches (guide §2.2).  The count
+    # is a cheap job over the checkpoint leaf; the target grows linearly
+    # with the batch, so huge batches keep full parallelism.
+    n_queries = qsel.count()
+    target = max(1, min(-(-n_queries // 1_000_000),
+                        qsel.rdd.getNumPartitions()))
+    if target < qsel.rdd.getNumPartitions():
+        qsel = qsel.coalesce(target)
     uniq = (
         qsel.select(F.col("_qtext").alias(text_col))
         .dropDuplicates([text_col])
